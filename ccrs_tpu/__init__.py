@@ -1,0 +1,32 @@
+"""ccrs_tpu — a TPU-native (JAX/XLA/Pallas) camera intrinsic calibration framework.
+
+A from-scratch rebuild of the capabilities of
+``powei-lin/camera-intrinsic-calibration-rs`` (the ``ccrs`` CLI), designed
+TPU-first:
+
+- the six camera models (UCM/EUCM/EUCMT/KB4/OPENCV5/FTHETA) are pure-JAX
+  ``project``/``unproject`` functions, vmapped over points and frames
+  (``ccrs_tpu.models``);
+- the AprilGrid detector is a batched pipeline: Pallas/XLA image front-end,
+  a small native C++ stage for the irregular quad extraction, and batched
+  JAX decode + subpixel refinement (``ccrs_tpu.detect``);
+- the bundle-adjustment solver is an on-device Levenberg–Marquardt with a
+  ``lax.while_loop`` damping schedule, Huber IRLS weights, box bounds, and a
+  Schur-complement solve over the intrinsics/pose block structure
+  (``ccrs_tpu.solve``);
+- RANSAC radial-distortion-homography initialization and SQPnP run fully
+  batched under ``jit`` (``ccrs_tpu.solve.homography``, ``ccrs_tpu.solve.pnp``);
+- multi-device scaling shards the frame batch over a ``jax.sharding.Mesh``
+  with ``psum`` reductions of the normal equations (``ccrs_tpu.parallel``).
+
+Dataset layouts, board/model JSON schemas and output artifacts are kept
+interchangeable with the Rust reference.
+"""
+
+import jax
+
+# The calibration core targets <=1e-6 px agreement with the f64 reference
+# solver; enable x64 globally and keep image-path dtypes explicitly f32.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

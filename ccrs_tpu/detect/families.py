@@ -1,0 +1,95 @@
+"""AprilTag family definitions (code tables + layout).
+
+TPU-native replacement for the `aprilgrid` crate's `TagFamily`
+(reference call sites: /root/reference/src/bin/camera_calibration.rs:31-33,
+/root/reference/src/data_loader.rs:43).  Code tables are bundled in
+``data/tag_families.npz`` (regenerate with ``tools/extract_tag_families.py``).
+
+Layout conventions:
+- ``bits``: data grid is ``size x size`` cells (4/5/6).
+- ``border``: black border width in cells.  Kalibr-style AprilGrid boards
+  (EuRoC / TUM-VI) print tags with a 2-cell black border; classic AprilTag
+  images use 1.  ``t36h11`` follows the Kalibr boards (the reference's
+  default family detects EuRoC/TUM-VI), ``t36h11b1`` is the 1-cell-border
+  variant of the same codes.
+- Decoding matches against all 4 rotations; the matched rotation fixes the
+  tag's canonical corner order (TL, TR, BR, BL in board frame, ids
+  ``tag*4 + {0,1,2,3}``, reference src/board.rs:46-95).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import cached_property, lru_cache
+
+import numpy as np
+
+_DATA = os.path.join(os.path.dirname(__file__), "data", "tag_families.npz")
+
+#: maximum hamming-distance correction per family (family "hN" = min dist N;
+#: correct up to floor((N-1)/2) but stay conservative like apriltag defaults)
+_MAX_HAMMING = {"t16h5": 0, "t25h7": 1, "t25h9": 1, "t36h11": 2, "t36h11b1": 2}
+
+FAMILY_NAMES = ["t16h5", "t25h7", "t25h9", "t36h11", "t36h11b1"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TagFamily:
+    """A decoded tag family: codes plus geometry of the printed tag."""
+
+    name: str
+    size: int  # data cells per side
+    border: int  # black border cells
+    codes: np.ndarray  # (n_codes, size*size) uint8, row-major bits, 1=white
+    max_hamming: int
+
+    @property
+    def n_codes(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def total_size(self) -> int:
+        """Cells per side including the black border."""
+        return self.size + 2 * self.border
+
+    @cached_property
+    def rotated_codes(self) -> np.ndarray:
+        """(n_codes * 4, size*size) int8 in {-1,+1}; rotation-major blocks.
+
+        Row ``4*i + k`` is code ``i`` rotated k*90deg CW as seen by a
+        detector sampling in canonical order.  Matching against this table
+        with a +-1 bit vector turns hamming distance into a dot product
+        (score = nbits - 2*hamming), i.e. one small matmul on the MXU.
+        """
+        n, nb = self.codes.shape
+        s = self.size
+        out = np.zeros((n * 4, nb), np.int8)
+        grid = self.codes.reshape(n, s, s)
+        for k in range(4):
+            rot = np.rot90(grid, k=k, axes=(1, 2)).reshape(n, nb)
+            out[k::4] = (rot.astype(np.int16) * 2 - 1).astype(np.int8)
+        return out
+
+
+@lru_cache(maxsize=None)
+def get_family(name: str) -> TagFamily:
+    if name not in FAMILY_NAMES:
+        raise ValueError(f"unknown tag family {name!r}; expected one of {FAMILY_NAMES}")
+    if name == "t25h7":
+        raise NotImplementedError(
+            "t25h7 code table is not distributed with OpenCV (dropped upstream). "
+            "Supply a custom table via TagFamily(...) if you need it."
+        )
+    data = np.load(_DATA)
+    base = "t36h11" if name == "t36h11b1" else name
+    codes = data[f"{base}_codes"]
+    size = int(data[f"{base}_size"])
+    border = 1 if name == "t36h11b1" else 2
+    return TagFamily(
+        name=name,
+        size=size,
+        border=border,
+        codes=codes,
+        max_hamming=_MAX_HAMMING[name],
+    )
