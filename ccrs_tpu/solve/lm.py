@@ -1,0 +1,305 @@
+"""Levenberg–Marquardt cores: dense small-problem LM and Schur-structured
+bundle adjustment, fully on-device.
+
+TPU-native replacement for the reference's ``tiny-solver`` + ``faer`` stack
+(string-keyed factor graph with dual-number forward autodiff and sparse
+normal equations — used surface in /root/repo/SURVEY.md §2.2).  The redesign:
+
+- Parameters are fixed-shape arrays, not named blocks: intrinsics vector
+  ``theta`` plus a ``(F, 6)`` pose batch.  Variable frame counts / corner
+  counts are handled by weight masks, never by dynamic problem structure.
+- Jacobians come from ``jax.jacfwd`` (forward mode — residual blocks are
+  2-dim, parameter blocks tiny, exactly the dual-number regime the
+  reference relies on), vmapped over frames.
+- Robustness is Huber via IRLS row re-weighting (delta 1.0 / 0.5 as used at
+  src/util.rs:313,413,539).
+- Box bounds are enforced by step projection (clamping after the update),
+  fixed variables by Jacobian column masking + unit diagonal
+  (replaces ``set_variable_bounds`` / ``fix_variable``).
+- The BA normal equations use the Schur complement over the pose blocks:
+  poses are block-diagonal ``(F,6,6)``, so the reduced system is only
+  ``k x k`` (k <= 9).  Everything solves with Cholesky — TPU f64 supports
+  Cholesky/QR/eigh but not LU (measured; see repo memory).
+- The damping loop is a ``lax.while_loop`` with classic accept/reject.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import se3
+
+
+@dataclasses.dataclass(frozen=True)
+class LMOptions:
+    max_iters: int = 60
+    lam0: float = 1e-6
+    lam_up: float = 10.0
+    lam_down: float = 0.1
+    lam_min: float = 1e-12
+    lam_max: float = 1e10
+    rtol: float = 1e-14  # relative cost decrease
+    huber_delta: Optional[float] = 1.0  # None = plain L2
+
+
+def huber_block_weight(r2, delta):
+    """IRLS weight for a residual block with squared norm r2.
+
+    Huber rho(s) = s (s<=d^2), 2 d sqrt(s) - d^2 otherwise; weight rho'(s).
+    """
+    if delta is None:
+        return jnp.ones_like(r2)
+    d2 = delta * delta
+    return jnp.where(r2 <= d2, 1.0, delta / jnp.sqrt(jnp.maximum(r2, 1e-300)))
+
+
+def huber_cost(r2, delta):
+    if delta is None:
+        return r2
+    d2 = delta * delta
+    return jnp.where(r2 <= d2, r2, 2.0 * delta * jnp.sqrt(jnp.maximum(r2, 1e-300)) - d2)
+
+
+# --------------------------------------------------------------------------
+# generic dense LM (convert_model, SE3 extrinsic init, ... small problems)
+# --------------------------------------------------------------------------
+
+
+def lm_solve(
+    residual_fn: Callable,
+    x0: jnp.ndarray,
+    *,
+    lo: Optional[jnp.ndarray] = None,
+    hi: Optional[jnp.ndarray] = None,
+    free: Optional[jnp.ndarray] = None,
+    opts: LMOptions = LMOptions(),
+):
+    """Dense LM over a flat parameter vector.
+
+    ``residual_fn(x) -> (blocks, w)``: residual blocks ``(B, d)`` and
+    per-block weights ``(B,)`` (0 masks a block).  Huber is applied per
+    block (matching tiny-solver's per-residual-block loss).
+
+    Returns (x, final_cost, n_iters).
+    """
+    n = x0.shape[0]
+    free_m = jnp.ones(n, dtype=x0.dtype) if free is None else free.astype(x0.dtype)
+
+    def clamp(x):
+        if lo is not None:
+            x = jnp.maximum(x, lo)
+        if hi is not None:
+            x = jnp.minimum(x, hi)
+        return x
+
+    def cost_of(x):
+        r, w = residual_fn(x)
+        r2 = jnp.sum(r * r, axis=-1)
+        return jnp.sum(w * huber_cost(r2, opts.huber_delta))
+
+    def jac_res(x):
+        J, (r, w) = jax.jacfwd(lambda x: (residual_fn(x)[0], residual_fn(x)), has_aux=True)(x)
+        return r, w, J  # r (B,d), w (B,), J (B,d,n)
+
+    def body(state):
+        x, lam, cost, it, done = state
+        r, w, J = jac_res(x)
+        r2 = jnp.sum(r * r, axis=-1)
+        wtot = w * huber_block_weight(r2, opts.huber_delta)
+        Jm = J * free_m[None, None, :]
+        H = jnp.einsum("bdi,bdj,b->ij", Jm, Jm, wtot)
+        g = jnp.einsum("bdi,bd,b->i", Jm, r, wtot)
+        H = H + jnp.diag(1.0 - free_m)  # unit diag for fixed -> step 0
+
+        def try_lam(lam):
+            D = jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-12))
+            L = jnp.linalg.cholesky(H + lam * D)
+            dx = jax.scipy.linalg.cho_solve((L, True), -g)
+            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+            return clamp(x + dx * free_m)
+
+        x_new = try_lam(lam)
+        c_new = cost_of(x_new)
+        accept = c_new < cost
+        x = jnp.where(accept, x_new, x)
+        lam = jnp.clip(
+            jnp.where(accept, lam * opts.lam_down, lam * opts.lam_up),
+            opts.lam_min,
+            opts.lam_max,
+        )
+        converged = accept & (cost - c_new <= opts.rtol * jnp.maximum(cost, 1e-300))
+        cost = jnp.where(accept, c_new, cost)
+        return x, lam, cost, it + 1, done | converged
+
+    def cond(state):
+        _, lam, _, it, done = state
+        return (~done) & (it < opts.max_iters)
+
+    x0 = clamp(x0)
+    state = (x0, jnp.asarray(opts.lam0, x0.dtype), cost_of(x0), 0, jnp.asarray(False))
+    x, _, cost, it, _ = jax.lax.while_loop(cond, body, state)
+    return x, cost, it
+
+
+# --------------------------------------------------------------------------
+# Schur-structured single-camera bundle adjustment
+# --------------------------------------------------------------------------
+
+
+class BAResult(NamedTuple):
+    theta: jnp.ndarray  # (k,) reduced intrinsics
+    poses: jnp.ndarray  # (F, 6) rvec|tvec
+    cost: jnp.ndarray
+    n_iters: jnp.ndarray
+
+
+def expand_theta(theta, one_focal: bool):
+    """Reduced intrinsics -> full model params (re-insert fy = fx row,
+    mirroring src/optimization/factors.rs:155-158)."""
+    if one_focal:
+        return jnp.concatenate([theta[:1], theta[:1], theta[1:]])
+    return theta
+
+
+def reduce_params(params, one_focal: bool):
+    if one_focal:
+        return jnp.concatenate([params[:1], params[2:]])
+    return params
+
+
+@partial(
+    jax.jit,
+    static_argnames=("project_fn", "one_focal", "max_iters", "huber_delta"),
+)
+def ba_solve(
+    project_fn,
+    theta0,
+    poses0,
+    p3d,
+    p2d,
+    w,
+    lo,
+    hi,
+    free,
+    frame_valid,
+    one_focal: bool = False,
+    max_iters: int = 60,
+    huber_delta: float = 1.0,
+):
+    """Single-camera BA: intrinsics + per-frame board poses.
+
+    Args:
+      project_fn: static — model projection ``(params, p3d) -> (p2d, valid)``.
+      theta0: (k,) reduced intrinsics (fy removed when one_focal).
+      poses0: (F, 6) initial rvec|tvec per frame.
+      p3d: (N, 3) board points (shared across frames).
+      p2d: (F, N, 2) observations (padded).
+      w: (F, N) observation weights (0 = padding / unobserved corner).
+      lo, hi, free: (k,) bounds and free-mask on theta.
+      frame_valid: (F,) 0/1 — frames excluded from the problem entirely
+        (reference skips frames with <10 valid pose-init points,
+        src/util.rs:431).
+      one_focal / max_iters / huber_delta: static options.
+
+    Replaces the reference's calib_camera solve (src/util.rs:384-490): the
+    factor graph with F*N ReprojectionFactors becomes one fixed-shape
+    residual tensor; the sparse normal equations become a k x k Schur
+    system plus F independent 6x6 Cholesky solves, all batched.
+    """
+    F, N, _ = p2d.shape
+    k = theta0.shape[0]
+    dtype = theta0.dtype
+    w = w * frame_valid[:, None]
+    opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta)
+
+    def frame_residual(theta, pose, p2d_f):
+        params = expand_theta(theta, one_focal)
+        pc = se3.transform(pose[:3], pose[3:], p3d)
+        proj, _ = project_fn(params, pc)
+        return proj - p2d_f  # (N,2)
+
+    def cost_of(theta, poses):
+        r = jax.vmap(frame_residual, in_axes=(None, 0, 0))(theta, poses, p2d)
+        r2 = jnp.sum(r * r, axis=-1)
+        return jnp.sum(w * huber_cost(r2, huber_delta))
+
+    def frame_jacobians(theta, pose, p2d_f):
+        def rfun(th, po):
+            return frame_residual(th, po, p2d_f)
+
+        Jt, Jp = jax.jacfwd(rfun, argnums=(0, 1))(theta, pose)
+        r = rfun(theta, pose)
+        return r, Jt, Jp  # (N,2), (N,2,k), (N,2,6)
+
+    def body(state):
+        theta, poses, lam, cost, it, done = state
+        r, Jt, Jp = jax.vmap(frame_jacobians, in_axes=(None, 0, 0))(theta, poses, p2d)
+        Jt = Jt * free[None, None, None, :]
+        r2 = jnp.sum(r * r, axis=-1)
+        wt = w * huber_block_weight(r2, huber_delta)  # (F,N)
+
+        U = jnp.einsum("fnri,fnrj,fn->ij", Jt, Jt, wt)  # (k,k)
+        A = jnp.einsum("fnri,fnrj,fn->fij", Jp, Jp, wt)  # (F,6,6)
+        B = jnp.einsum("fnri,fnrj,fn->fij", Jt, Jp, wt)  # (F,k,6)
+        g_t = jnp.einsum("fnri,fnr,fn->i", Jt, r, wt)  # (k,)
+        g_p = jnp.einsum("fnri,fnr,fn->fi", Jp, r, wt)  # (F,6)
+        U = U + jnp.diag(1.0 - free)
+
+        def try_step(lam):
+            Ud = U + lam * jnp.diag(jnp.maximum(jnp.diagonal(U), 1e-12))
+            Ad = A + lam * jax.vmap(lambda a: jnp.diag(jnp.maximum(jnp.diagonal(a), 1e-12)))(A)
+            # guard empty frames: make their block identity (step forced 0)
+            eye6 = jnp.eye(6, dtype=dtype)
+            Ad = jnp.where(frame_valid[:, None, None] > 0, Ad, eye6)
+            La = jax.vmap(jnp.linalg.cholesky)(Ad)  # (F,6,6)
+            Ainv_Bt = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b.T))(
+                La, B
+            )  # (F,6,k)
+            Ainv_g = jax.vmap(lambda L, g: jax.scipy.linalg.cho_solve((L, True), g))(
+                La, g_p
+            )  # (F,6)
+            S = Ud - jnp.einsum("fij,fjk->ik", B, Ainv_Bt)  # (k,k)
+            rhs = -(g_t - jnp.einsum("fik,fi->k", Ainv_Bt, g_p))
+            Ls = jnp.linalg.cholesky(S)
+            dth = jax.scipy.linalg.cho_solve((Ls, True), rhs)
+            dpo = -(Ainv_g + jnp.einsum("fik,k->fi", Ainv_Bt, dth))
+            dth = jnp.where(jnp.isfinite(dth), dth, 0.0)
+            dpo = jnp.where(jnp.isfinite(dpo), dpo, 0.0)
+            th_new = jnp.clip(theta + dth * free, lo, hi)
+            po_new = poses + dpo * frame_valid[:, None]
+            return th_new, po_new
+
+        th_new, po_new = try_step(lam)
+        c_new = cost_of(th_new, po_new)
+        accept = c_new < cost
+        theta = jnp.where(accept, th_new, theta)
+        poses = jnp.where(accept, po_new, poses)
+        lam = jnp.clip(
+            jnp.where(accept, lam * opts.lam_down, lam * opts.lam_up),
+            opts.lam_min,
+            opts.lam_max,
+        )
+        converged = accept & (cost - c_new <= opts.rtol * jnp.maximum(cost, 1e-300))
+        cost = jnp.where(accept, c_new, cost)
+        return theta, poses, lam, cost, it + 1, done | converged
+
+    def cond(state):
+        _, _, _, _, it, done = state
+        return (~done) & (it < max_iters)
+
+    theta0 = jnp.clip(theta0, lo, hi)
+    state = (
+        theta0,
+        poses0,
+        jnp.asarray(opts.lam0, dtype),
+        cost_of(theta0, poses0),
+        0,
+        jnp.asarray(False),
+    )
+    theta, poses, _, cost, it, _ = jax.lax.while_loop(cond, body, state)
+    return BAResult(theta, poses, cost, it)
