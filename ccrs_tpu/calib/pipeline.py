@@ -1,0 +1,101 @@
+"""Per-camera calibration orchestration.
+
+Rebuilds ``init_and_calibrate_one_camera`` (``src/util.rs:831-911``) and the
+retry ladder of ``calibrate_all_cameras``
+(``src/bin/camera_calibration.rs:205-246``): pick two init frames, attempt
+closed-form init up to 10 times (fresh PRNG key each attempt), convert the
+fitted UCM to the target model, then run the full bundle adjustment.
+Randomness is reproducible: every retry derives from one threaded JAX key.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..board import Board
+from ..models import GenericModel
+from ..types import CalibParams, RvecTvec
+from .convert import convert_model
+from .frames import FrameBatch
+from .initialize import find_best_two_frames, try_init_camera
+from .single import calib_camera
+
+log = logging.getLogger(__name__)
+
+MAX_INIT_ATTEMPTS = 10  # src/util.rs:855
+MAX_TRIALS = 3  # bin/camera_calibration.rs:217
+
+
+def init_and_calibrate_one_camera(
+    board: Board,
+    batch: FrameBatch,
+    target_model: GenericModel,
+    calib_params: CalibParams,
+    key,
+    random_pick_two_frames: bool = False,
+    rng=None,
+) -> Optional[Tuple[GenericModel, Dict[int, RvecTvec]]]:
+    frame0, frame1 = find_best_two_frames(batch, random_pick_two_frames, rng)
+    log.info("init frames: %d, %d", frame0, frame1)
+
+    initial_camera = None
+    for i in range(MAX_INIT_ATTEMPTS):
+        key, sub = jax.random.split(key)
+        initial_camera = try_init_camera(
+            board, batch, frame0, frame1, sub, calib_params.fixed_focal
+        )
+        if initial_camera is not None:
+            break
+        log.info("initialization attempt %d failed, retrying", i)
+    if initial_camera is None or initial_camera.params[0] == 0.0:
+        log.warning("calibration failed: could not initialize UCM")
+        return None
+
+    final_model = target_model.copy()
+    final_model.set_w_h(round(initial_camera.width), round(initial_camera.height))
+    convert_model(initial_camera, final_model, calib_params.disabled_distortion_num)
+    log.info("converted to %s: %s", final_model.name, final_model.params)
+
+    if calib_params.fixed_focal is not None:
+        p = final_model.params.copy()
+        p[0] = p[1] = calib_params.fixed_focal
+        final_model.set_params(p)
+        one_focal, fixed_focal = True, True
+    else:
+        one_focal, fixed_focal = calib_params.one_focal, False
+
+    return calib_camera(
+        board,
+        batch,
+        final_model,
+        xy_same_focal=one_focal,
+        disabled_distortions=calib_params.disabled_distortion_num,
+        fixed_focal=fixed_focal,
+    )
+
+
+def calibrate_camera_with_retries(
+    board: Board,
+    batch: FrameBatch,
+    target_model: GenericModel,
+    calib_params: CalibParams,
+    key,
+    seed: int = 0,
+) -> Tuple[GenericModel, Dict[int, RvecTvec]]:
+    """<=3 trials; retries pick random init frames
+    (bin/camera_calibration.rs:217-242).  Raises on exhaustion like the
+    reference's panic."""
+    rng = np.random.default_rng(seed)
+    for trial in range(MAX_TRIALS):
+        key, sub = jax.random.split(key)
+        result = init_and_calibrate_one_camera(
+            board, batch, target_model, calib_params, sub,
+            random_pick_two_frames=trial > 0, rng=rng,
+        )
+        if result is not None:
+            return result
+    raise RuntimeError(f"Failed to calibrate camera after {MAX_TRIALS} trials")

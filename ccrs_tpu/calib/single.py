@@ -1,0 +1,156 @@
+"""Single-camera bundle-adjustment calibration.
+
+Rebuilds ``calib_camera`` (``src/util.rs:384-490``) on the Schur-structured
+``ba_solve``: the per-feature ReprojectionFactor graph becomes one
+``(F, N, 2)`` masked residual tensor; per-frame pose init is the batched
+unproject -> planar-PnP path of ``src/util.rs:418-439`` with the <10-valid
+frame skip expressed as a frame mask.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..board import Board
+from ..models import GenericModel
+from ..models.projections import project_fn, unproject_fn
+from ..solve.lm import ba_solve, expand_theta, reduce_params
+from ..solve.pnp import solve_pnp_planar_batch
+from ..types import RvecTvec
+from .frames import FrameBatch
+
+MIN_PNP_POINTS = 10  # src/util.rs:431
+
+
+def build_bounds(model: GenericModel, one_focal: bool):
+    """Parameter bounds mirroring set_problem_parameter_bound
+    (``src/util.rs:29-49``): focals in (0, 1e4), cx/cy in (0, w/h),
+    distortion bounds from the model table."""
+    n = model.n_params
+    lo = np.full(n, -np.inf)
+    hi = np.full(n, np.inf)
+    lo[0:2], hi[0:2] = 0.0, 1e4
+    lo[2], hi[2] = 0.0, model.width
+    lo[3], hi[3] = 0.0, model.height
+    for idx, (l, h) in model.distortion_params_bound().items():
+        lo[idx], hi[idx] = l, h
+    if one_focal:
+        lo = np.delete(lo, 1)
+        hi = np.delete(hi, 1)
+    return lo, hi
+
+
+def disabled_free_mask(model: GenericModel, one_focal: bool, disabled: int):
+    """Free-mask that fixes the last ``disabled`` distortion params
+    (set_problem_parameter_disabled, ``src/util.rs:50-71``); the caller also
+    zeroes those entries in theta0."""
+    n = model.n_params - (1 if one_focal else 0)
+    free = np.ones(n)
+    for i in range(disabled):
+        free[n - 1 - i] = 0.0
+    return free
+
+
+def init_frame_poses(board: Board, batch: FrameBatch, model: GenericModel):
+    """Batched pose init for every frame: unproject observations through the
+    current model, planar PnP on the valid ones (src/util.rs:418-439).
+
+    Returns (poses (F,6) np, frame_valid (F,) np) — frames with fewer than
+    MIN_PNP_POINTS valid unprojections are masked out.
+    """
+    unproj = unproject_fn(model.name)
+    rays, uvalid = unproj(jnp.asarray(model.params), jnp.asarray(batch.p2d))
+    rays = np.asarray(rays)
+    uvalid = np.asarray(uvalid) & batch.mask
+    z = rays[..., 2:3]
+    z = np.where(np.abs(z) > 1e-12, z, 1e-12)
+    obs = rays[..., :2] / z  # normalized plane
+    w = uvalid.astype(np.float64)
+    counts = uvalid.sum(axis=1)
+    frame_valid = (counts >= MIN_PNP_POINTS).astype(np.float64)
+    # guard all-zero weight rows for the batched PnP (result gated anyway)
+    w_safe = np.where(frame_valid[:, None] > 0, w, 1.0)
+    obs = np.where(np.isfinite(obs), obs, 0.0)
+    r, t = solve_pnp_planar_batch(
+        jnp.broadcast_to(
+            jnp.asarray(board.p3d, dtype=jnp.float64),
+            (batch.n_frames,) + board.p3d.shape,
+        ),
+        jnp.asarray(obs),
+        jnp.asarray(w_safe),
+    )
+    poses = np.concatenate([np.asarray(r), np.asarray(t)], axis=1)
+    poses = np.where(np.isfinite(poses), poses, 0.0)
+    return poses, frame_valid
+
+
+def calib_camera(
+    board: Board,
+    batch: FrameBatch,
+    camera: GenericModel,
+    xy_same_focal: bool,
+    disabled_distortions: int,
+    fixed_focal: bool,
+) -> Optional[Tuple[GenericModel, Dict[int, RvecTvec]]]:
+    """Full single-camera BA (``src/util.rs:384-490``).
+
+    Returns (calibrated model, {frame_idx: board->camera pose}) or None.
+    """
+    params0 = camera.params.copy()
+    theta0 = np.asarray(reduce_params(jnp.asarray(params0), xy_same_focal))
+    lo, hi = build_bounds(camera, xy_same_focal)
+    free = disabled_free_mask(camera, xy_same_focal, disabled_distortions)
+    # zero the disabled distortion entries (util.rs:69); at this point the
+    # free-mask only pins disabled distortion tail entries.  Widen their
+    # bounds so the initial clamp cannot move a pinned zero (e.g. beta's
+    # lower bound is 1e-6 but a disabled beta must stay exactly 0).
+    theta0 = np.where(free == 0.0, 0.0, theta0)
+    lo = np.where(free == 0.0, -np.inf, lo)
+    hi = np.where(free == 0.0, np.inf, hi)
+
+    poses0, frame_valid = init_frame_poses(board, batch, camera)
+    frame_valid = frame_valid * (batch.counts() > 0)
+    if frame_valid.sum() == 0:
+        return None
+
+    w = (batch.mask & True).astype(np.float64)
+    args = dict(
+        project_fn=project_fn(camera.name),
+        p3d=jnp.asarray(board.p3d, dtype=jnp.float64),
+        p2d=jnp.asarray(batch.p2d),
+        w=jnp.asarray(w),
+        lo=jnp.asarray(lo),
+        hi=jnp.asarray(hi),
+        frame_valid=jnp.asarray(frame_valid),
+        one_focal=xy_same_focal,
+        huber_delta=1.0,
+    )
+    res = ba_solve(
+        theta0=jnp.asarray(theta0), poses0=jnp.asarray(poses0),
+        free=jnp.asarray(free), **args,
+    )
+    if not np.isfinite(float(res.cost)):
+        return None
+    theta, poses = res.theta, res.poses
+    if fixed_focal:
+        # re-solve with f clamped at the requested value (util.rs:459-464)
+        theta = theta.at[0].set(params0[0])
+        free_fix = free.copy()
+        free_fix[0] = 0.0
+        res = ba_solve(
+            theta0=theta, poses0=poses, free=jnp.asarray(free_fix), **args
+        )
+        theta, poses = res.theta, res.poses
+
+    new_params = np.asarray(expand_theta(theta, xy_same_focal))
+    out_model = camera.copy()
+    out_model.set_params(new_params)
+    poses = np.asarray(poses)
+    rtvecs = {
+        int(i): RvecTvec(poses[i, :3], poses[i, 3:])
+        for i in np.flatnonzero(frame_valid > 0)
+    }
+    return out_model, rtvecs
