@@ -1,0 +1,173 @@
+"""Batched tag decoding: quad -> homography -> bit sampling -> code match.
+
+All candidate quads of a frame batch decode in ONE jitted computation:
+closed-form unit-square homographies (Heckbert), bilinear bit sampling,
+local black/white photometric calibration from the tag's own border and
+surrounding ring, and code matching as a single (Q, nbits) x (nbits, 4*ncodes)
+matmul on the MXU — hamming distance via the +-1 dot-product identity
+(score = nbits - 2*hamming).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .families import TagFamily
+
+MIN_DECODE_CONTRAST = 20.0
+
+
+def _unit_square_homography(quad):
+    """Heckbert projective map from the unit square to a quad.
+
+    quad: (4,2) corners ordered (0,0),(1,0),(1,1),(0,1) in traversal order.
+    Returns H (3,3) with x = H @ (u,v,1).
+    """
+    x0, y0 = quad[0, 0], quad[0, 1]
+    x1, y1 = quad[1, 0], quad[1, 1]
+    x2, y2 = quad[2, 0], quad[2, 1]
+    x3, y3 = quad[3, 0], quad[3, 1]
+    sx = x0 - x1 + x2 - x3
+    sy = y0 - y1 + y2 - y3
+    dx1, dy1 = x1 - x2, y1 - y2
+    dx2, dy2 = x3 - x2, y3 - y2
+    den = dx1 * dy2 - dx2 * dy1
+    den = jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
+    g = (sx * dy2 - sy * dx2) / den
+    h = (dx1 * sy - dy1 * sx) / den
+    a = x1 - x0 + g * x1
+    b = x3 - x0 + h * x3
+    d = y1 - y0 + g * y1
+    e = y3 - y0 + h * y3
+    return jnp.array([[a, b, x0], [d, e, y0], [g, h, 1.0]])
+
+
+def _apply_h(H, uv):
+    """(3,3) x (n,2) -> (n,2)."""
+    p = jnp.concatenate([uv, jnp.ones_like(uv[:, :1])], axis=1) @ H.T
+    z = jnp.where(jnp.abs(p[:, 2:3]) > 1e-12, p[:, 2:3], 1e-12)
+    return p[:, :2] / z
+
+
+def _bilinear(img, xy):
+    """Sample (H,W) image at (n,2) float (x,y) positions."""
+    H, W = img.shape
+    x = jnp.clip(xy[:, 0], 0.0, W - 1.001)
+    y = jnp.clip(xy[:, 1], 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def _sample_grids(family: TagFamily):
+    """Static (unit-square) sample positions: data cells (3x3 subsamples
+    each), black refs (inner border ring), white refs (outside the quad)."""
+    T = family.total_size
+    s = family.size
+    b = family.border
+    # data cells sampled on a 3x3 sub-grid (averaged at decode time)
+    jj, ii = np.meshgrid(np.arange(s), np.arange(s))
+    centers = np.stack([(b + jj).ravel(), (b + ii).ravel()], -1).astype(np.float64)
+    sub = np.array([0.3, 0.5, 0.7])
+    su, sv = np.meshgrid(sub, sub)
+    subs = np.stack([su.ravel(), sv.ravel()], -1)  # (9,2)
+    data_uv = ((centers[:, None, :] + subs[None, :, :]) / T).reshape(-1, 2)
+    # black refs: ring just inside the data area (layer b-1), falls back to
+    # layer 0 for border-1 families
+    layer = b - 1
+    ring = []
+    for i in range(T):
+        for j in range(T):
+            if min(i, j, T - 1 - i, T - 1 - j) == layer:
+                ring.append([(j + 0.5) / T, (i + 0.5) / T])
+    black_uv = np.asarray(ring)
+    # white refs: 0.75 cells outside each edge at 3 positions
+    off = 0.75 / T
+    white_uv = []
+    for t in (0.25, 0.5, 0.75):
+        white_uv += [
+            [t, -off], [t, 1 + off], [-off, t], [1 + off, t],
+        ]
+    white_uv = np.asarray(white_uv)
+    return (
+        jnp.asarray(data_uv, dtype=jnp.float32),
+        jnp.asarray(black_uv, dtype=jnp.float32),
+        jnp.asarray(white_uv, dtype=jnp.float32),
+    )
+
+
+@partial(jax.jit, static_argnames=("family",))
+def decode_quads(family: TagFamily, images, quads, counts):
+    """Decode all candidate quads.
+
+    Args:
+      family: static TagFamily.
+      images: (B, H, W) float32 grayscale (0..255).
+      quads: (B, K, 4, 2) float32 corners (clockwise, arbitrary start).
+      counts: (B,) int32 valid quad counts.
+
+    Returns dict of (B, K) arrays: tag_id, rotation, hamming, valid,
+    plus corners_canonical (B, K, 4, 2) with corner 0 = tag's canonical
+    top-left (board corner id tag*4+0).
+    """
+    data_uv, black_uv, white_uv = _sample_grids(family)
+    codes = jnp.asarray(family.rotated_codes, dtype=jnp.float32)  # (4n, nbits)
+    nbits = codes.shape[1]
+
+    def per_image(img, img_quads):
+        def per_quad(quad):
+            Hm = _unit_square_homography(quad)
+            dpix = _bilinear(img, _apply_h(Hm, data_uv)).reshape(-1, 9)
+            dpix = jnp.mean(dpix, axis=1)  # average 3x3 subsamples per cell
+            bpix = _bilinear(img, _apply_h(Hm, black_uv))
+            wpix = _bilinear(img, _apply_h(Hm, white_uv))
+            black = jnp.mean(bpix)
+            white = jnp.mean(wpix)
+            thr = 0.5 * (black + white)
+            bits = jnp.where(dpix > thr, 1.0, -1.0)
+            contrast_ok = (white - black) > MIN_DECODE_CONTRAST
+            return bits, contrast_ok
+
+        bits, contrast_ok = jax.vmap(per_quad)(img_quads)  # (K,nbits),(K,)
+        scores = bits @ codes.T  # (K, 4n)  — MXU
+        best = jnp.argmax(scores, axis=1)
+        hamming = ((nbits - scores[jnp.arange(bits.shape[0]), best]) / 2).astype(
+            jnp.int32
+        )
+        return best, hamming, contrast_ok
+
+    best, hamming, contrast_ok = jax.vmap(per_image)(images, quads)
+    tag_id = best // 4
+    rotation = best % 4
+    K = quads.shape[1]
+    in_range = jnp.arange(K)[None, :] < counts[:, None]
+    valid = in_range & contrast_ok & (hamming <= family.max_hamming)
+
+    # canonical corner order: detected view index v shows canonical corner
+    # (v + k) mod 4 when the sampled grid matched rotation k; so canonical
+    # corner c = detected corner (c - k) mod 4.
+    c = jnp.arange(4)[None, None, :]
+    idx = (c - rotation[:, :, None]) % 4  # (B,K,4)
+    corners_canonical = jnp.take_along_axis(quads, idx[..., None], axis=2)
+    return {
+        "tag_id": tag_id,
+        "rotation": rotation,
+        "hamming": hamming,
+        "valid": valid,
+        "corners": corners_canonical,
+    }

@@ -1,0 +1,111 @@
+"""TagDetector: the public detection API.
+
+Mirrors the reference's detector surface (``TagDetector::new(&family, None)``
++ ``detect(&image) -> {tag_id: [4 corners]}``, call sites
+``src/bin/camera_calibration.rs:74`` / ``src/data_loader.rs:43``) but is
+batch-first: ``detect_batch`` processes a whole frame sequence through the
+three-stage pipeline
+
+  device: adaptive threshold  ->  host/native: quad extraction (C++)
+      ->  device: homography decode + code match + subpixel refine
+
+``detect`` on a single image is a convenience wrapper over the batch path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .decode import decode_quads
+from .families import TagFamily, get_family
+from .quads import MAX_QUADS, extract_quads_batch
+from .refine import refine_corners
+from .threshold import adaptive_threshold, pad_to_tile
+
+
+def _to_gray_f32(img: np.ndarray) -> np.ndarray:
+    """Any common image format -> float32 grayscale on a 0..255 scale."""
+    img = np.asarray(img)
+    if img.ndim == 3:
+        if img.shape[2] == 4:
+            img = img[..., :3]
+        # ITU-R BT.601 luma
+        img = img @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    if img.dtype == np.uint16:
+        img = img.astype(np.float32) / 257.0
+    else:
+        img = img.astype(np.float32)
+        if img.size and img.max() <= 1.5:  # 0..1 floats
+            img = img * 255.0
+    return img
+
+
+class TagDetector:
+    """AprilGrid tag detector.
+
+    Args:
+      family: family name ("t36h11", "t16h5", ...) or a TagFamily.
+      refine: run subpixel corner refinement (default True).
+    """
+
+    def __init__(self, family="t36h11", refine: bool = True, max_quads: int = MAX_QUADS):
+        self.family: TagFamily = (
+            family if isinstance(family, TagFamily) else get_family(family)
+        )
+        self.refine = refine
+        self.max_quads = max_quads
+
+    # ------------------------------------------------------------- batched
+    def detect_batch(self, images) -> List[Dict[int, np.ndarray]]:
+        """Detect tags in a batch of images.
+
+        Args:
+          images: (B, H, W) or (B, H, W, C) uint8/float array-like.
+
+        Returns:
+          list of {tag_id: (4, 2) float32 corners} per image, corner order
+          TL, TR, BR, BL in the tag's canonical orientation (board corner
+          ids tag*4 + {0,1,2,3}).
+        """
+        imgs = np.stack([_to_gray_f32(im) for im in np.asarray(images)])
+        B, H, W = imgs.shape
+        dev_imgs = jnp.asarray(imgs)
+        padded, _, _ = pad_to_tile(dev_imgs)
+        binary = np.asarray(adaptive_threshold(padded))[:, :H, :W]
+        quads, counts = extract_quads_batch(binary, max_quads=self.max_quads)
+        if counts.max(initial=0) == 0:
+            return [dict() for _ in range(B)]
+
+        quads_j = jnp.asarray(quads)
+        if self.refine:
+            # subpixel-refine ALL candidate corners BEFORE decoding: the
+            # sharper homographies make bit sampling markedly more reliable
+            # on small/strongly-distorted tags.
+            flat = quads_j.reshape(B, -1, 2)
+            quads_j = refine_corners(dev_imgs, flat).reshape(quads_j.shape)
+
+        out = decode_quads(self.family, dev_imgs, quads_j, jnp.asarray(counts))
+        tag_id = np.asarray(out["tag_id"])
+        hamming = np.asarray(out["hamming"])
+        valid = np.asarray(out["valid"])
+        corners = np.asarray(out["corners"])  # (B,K,4,2)
+
+        results: List[Dict[int, np.ndarray]] = []
+        for b in range(B):
+            best: Dict[int, Tuple[int, int]] = {}
+            for k in np.flatnonzero(valid[b]):
+                tid = int(tag_id[b, k])
+                if tid not in best or hamming[b, k] < best[tid][1]:
+                    best[tid] = (int(k), int(hamming[b, k]))
+            results.append(
+                {tid: corners[b, k].copy() for tid, (k, _) in best.items()}
+            )
+        return results
+
+    # -------------------------------------------------------------- single
+    def detect(self, image) -> Dict[int, np.ndarray]:
+        """Single-image detection (reference-compatible convenience)."""
+        return self.detect_batch(np.asarray(image)[None])[0]

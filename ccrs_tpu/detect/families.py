@@ -34,15 +34,29 @@ _MAX_HAMMING = {"t16h5": 0, "t25h7": 1, "t25h9": 1, "t36h11": 2, "t36h11b1": 2}
 FAMILY_NAMES = ["t16h5", "t25h7", "t25h9", "t36h11", "t36h11b1"]
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class TagFamily:
-    """A decoded tag family: codes plus geometry of the printed tag."""
+    """A decoded tag family: codes plus geometry of the printed tag.
+
+    Hash/eq by (name, size, border) so instances can be jit static args
+    (the code table is immutable per family name).
+    """
 
     name: str
     size: int  # data cells per side
     border: int  # black border cells
     codes: np.ndarray  # (n_codes, size*size) uint8, row-major bits, 1=white
     max_hamming: int
+
+    def __hash__(self):
+        return hash((self.name, self.size, self.border))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, TagFamily)
+            and (self.name, self.size, self.border)
+            == (other.name, other.size, other.border)
+        )
 
     @property
     def n_codes(self) -> int:

@@ -1,0 +1,81 @@
+"""Adaptive threshold front-end (device side).
+
+First stage of the AprilGrid detector (replacing the image pipeline of the
+reference's `aprilgrid` crate, SURVEY.md §2.2): tile-based adaptive
+thresholding in the style of AprilTag 3 — per-tile min/max, dilated over a
+3x3 tile neighborhood, pixels classified against the local midpoint, and
+low-contrast tiles neutralized so they produce no spurious black blobs.
+
+Pure jnp ops (reshape reductions + reduce_window): XLA fuses these into a
+few memory-bound passes; batched over frames.  f32 in, uint8 {0,1} out.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+TILE = 4
+MIN_CONTRAST = 20.0  # on a 0..255 scale
+
+
+@partial(jax.jit, static_argnames=("tile", "min_contrast", "separate"))
+def adaptive_threshold(
+    images, tile: int = TILE, min_contrast: float = MIN_CONTRAST,
+    separate: bool = True,
+):
+    """Binarize a batch of grayscale images.
+
+    Args:
+      images: (B, H, W) float32 (0..255); H, W divisible by ``tile``
+        (callers pad — see ``pad_to_tile``).
+      separate: apply one white-dilation pass (3x3 max) after
+        thresholding.  Kalibr-style AprilGrid boards place black squares
+        diagonally touching every tag corner; blur bridges them into one
+        connected component, which destroys quad extraction.  A single
+        erosion of the black regions severs those bridges (the ~1px corner
+        shrink is recovered by the gray-image subpixel refinement).
+
+    Returns:
+      binary: (B, H, W) uint8 — 1 white, 0 black; low-contrast regions
+        forced white (they cannot spawn false quads).
+    """
+    B, H, W = images.shape
+    x = images.astype(jnp.float32)
+    t = x.reshape(B, H // tile, tile, W // tile, tile)
+    tmin = t.min(axis=(2, 4))
+    tmax = t.max(axis=(2, 4))
+
+    # dilate min/max over 3x3 tile neighborhood
+    def pool(v, op, init):
+        return jax.lax.reduce_window(
+            v, init, op, (1, 3, 3), (1, 1, 1), "SAME"
+        )
+
+    nmin = pool(tmin, jax.lax.min, jnp.inf)
+    nmax = pool(tmax, jax.lax.max, -jnp.inf)
+    contrast_ok = (nmax - nmin) >= min_contrast
+    thresh = (nmin + nmax) * 0.5
+
+    up = lambda v: jnp.repeat(jnp.repeat(v, tile, axis=1), tile, axis=2)
+    binary = x > up(thresh)
+    binary = binary | ~up(contrast_ok)  # low contrast -> white
+    if separate:
+        binary = jax.lax.reduce_window(
+            binary, False, jax.lax.bitwise_or, (1, 3, 3), (1, 1, 1), "SAME"
+        )
+    return binary.astype(jnp.uint8)
+
+
+def pad_to_tile(img, tile: int = TILE):
+    """Pad (H, W) or (B, H, W) on the bottom/right to tile multiples with
+    white (255), so padding never creates black components."""
+    H, W = img.shape[-2], img.shape[-1]
+    ph = (-H) % tile
+    pw = (-W) % tile
+    if ph == 0 and pw == 0:
+        return img, H, W
+    pad = [(0, 0)] * (img.ndim - 2) + [(0, ph), (0, pw)]
+    return jnp.pad(img, pad, constant_values=255.0), H, W

@@ -1,0 +1,293 @@
+"""Synthetic AprilGrid dataset renderer.
+
+Renders photorealistic-enough calibration images by inverse-mapping every
+output pixel through a camera model onto the board plane (supersampled for
+anti-aliasing), entirely in JAX.  Used by the test-suite and ``bench.py``
+(the environment has no network access, so the TUM-VI acceptance dataset of
+the reference CI — .github/workflows/rust.yml — is replaced by synthetic
+sequences with exact ground truth), and by ``python -m ccrs_tpu.testdata``
+to materialize a EuRoC-layout dataset on disk for CLI runs.
+
+Ground truth: the rendered corner positions are exactly
+``project(params, T_cam_board . p3d_corner)``.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .board import Board, BoardConfig
+from .detect.families import TagFamily, get_family
+from .models import GenericModel
+from .models.projections import project_fn, unproject_fn
+from .solve import se3
+
+
+def board_pattern_image(board: Board, family: TagFamily):
+    """Rasterize the board layout into a cell-resolution lookup table.
+
+    Returns (tex, origin, scale): tex is a (Hc, Wc) float array of cell
+    intensities (1 white, 0 black) covering the board's bounding box with
+    ``total_size`` cells per tag edge; world (x, y) maps to texel
+    ``(x - ox) * scale``, ``(oy - y) * scale``.
+    """
+    cfg = board.config
+    T = family.total_size
+    s = cfg.tag_size_meter
+    pitch = s * (1.0 + cfg.tag_spacing)
+    cell = s / T
+    # texture covers [ -pitch*0.5, cols*pitch + 0.5*pitch ] etc. with margin
+    margin_cells = int(np.ceil((pitch - s) / cell)) + T
+    Wc = int(np.ceil((cfg.tag_cols - 1) * pitch / cell)) + T + 2 * margin_cells
+    Hc = int(np.ceil((cfg.tag_rows - 1) * pitch / cell)) + T + 2 * margin_cells
+    tex = np.ones((Hc, Wc), np.float32)
+    ox = -margin_cells * cell
+    oy = margin_cells * cell  # world y of texture row 0 (y decreases with row)
+    for r in range(cfg.tag_rows):
+        for c in range(cfg.tag_cols):
+            tag_id = cfg.first_id + r * cfg.tag_cols + c
+            if tag_id >= family.n_codes:
+                continue
+            bits = family.codes[tag_id].reshape(family.size, family.size)
+            x0 = c * pitch
+            y0 = -r * pitch
+            ci0 = int(round((ox * -1 + x0) / cell))
+            ri0 = int(round((oy - y0) / cell))
+            for i in range(T):
+                for j in range(T):
+                    inner = (
+                        family.border <= i < T - family.border
+                        and family.border <= j < T - family.border
+                    )
+                    if inner:
+                        v = float(bits[i - family.border, j - family.border])
+                    else:
+                        v = 0.0
+                    tex[ri0 + i, ci0 + j] = v
+    # Kalibr-style corner squares: black squares of side tag_spacing * s in
+    # every inter-tag gap intersection (they diagonally touch tag corners —
+    # real EuRoC/TUM-VI boards have these, and they turn each tag corner
+    # into a checkerboard saddle point).
+    gap_cells = int(round(cfg.tag_spacing * T))
+    if gap_cells > 0:
+        for r in range(cfg.tag_rows + 1):
+            for c in range(cfg.tag_cols + 1):
+                # square spans [c*pitch - gap, c*pitch] x [-r*pitch, -r*pitch + gap]
+                x_left = c * pitch - cfg.tag_spacing * s
+                y_top = -r * pitch + cfg.tag_spacing * s
+                ci0 = int(round((x_left - ox) / cell))
+                ri0 = int(round((oy - y_top) / cell))
+                tex[ri0 : ri0 + gap_cells, ci0 : ci0 + gap_cells] = 0.0
+    return jnp.asarray(tex), (ox, oy), 1.0 / cell
+
+
+@partial(jax.jit, static_argnames=("proj_name", "width", "height", "ss"))
+def _render(
+    proj_name, params, rvec, tvec, tex, ox, oy, scale,
+    width: int, height: int, ss: int = 3,
+    white: float = 220.0, black: float = 35.0, bg: float = 128.0,
+):
+    unproj = unproject_fn(proj_name)
+    # supersampled pixel grid
+    off = (jnp.arange(ss) + 0.5) / ss - 0.5
+    uu, vv = jnp.meshgrid(
+        jnp.arange(width, dtype=params.dtype), jnp.arange(height, dtype=params.dtype)
+    )
+    R = se3.exp_so3(rvec)
+    Rinv = R.T
+    t_board = -(Rinv @ tvec)
+
+    def sample(du, dv):
+        pix = jnp.stack([uu + du, vv + dv], axis=-1).reshape(-1, 2)
+        ray, valid = unproj(params, pix)
+        # board frame: X = s * Rinv d + t_board with X_z = 0
+        d = ray @ Rinv.T
+        denom = jnp.where(jnp.abs(d[:, 2]) > 1e-12, d[:, 2], 1e-12)
+        sscale = -t_board[2] / denom
+        X = sscale[:, None] * d + t_board
+        infront = (sscale > 0) & valid
+        tx = (X[:, 0] - ox) * scale
+        ty = (oy - X[:, 1]) * scale
+        Hc, Wc = tex.shape
+        inside = (tx >= 0) & (tx < Wc) & (ty >= 0) & (ty < Hc) & infront
+        txi = jnp.clip(tx.astype(jnp.int32), 0, Wc - 1)
+        tyi = jnp.clip(ty.astype(jnp.int32), 0, Hc - 1)
+        cellv = tex[tyi, txi]
+        val = jnp.where(inside, black + (white - black) * cellv, bg)
+        return val
+
+    acc = jnp.zeros(width * height, dtype=params.dtype)
+    for du in off:
+        for dv in off:
+            acc = acc + sample(du, dv)
+    img = acc / (ss * ss)
+    return img.reshape(height, width)
+
+
+def render_board_image(
+    model: GenericModel,
+    board: Board,
+    family: TagFamily,
+    rvec,
+    tvec,
+    ss: int = 3,
+    noise: float = 0.0,
+    seed: int = 0,
+    blur_sigma: float = 0.7,
+):
+    """Render one frame; returns (H, W) uint8.
+
+    ``blur_sigma`` models the camera PSF (real calibration footage is never
+    pixel-sharp; a slight blur also makes bilinear bit sampling behave like
+    it does on real images)."""
+    tex, (ox, oy), scale = board_pattern_image(board, family)
+    img = _render(
+        model.name,
+        jnp.asarray(model.params),
+        jnp.asarray(rvec, dtype=jnp.float64),
+        jnp.asarray(tvec, dtype=jnp.float64),
+        tex.astype(jnp.float64),
+        ox,
+        oy,
+        scale,
+        int(model.width),
+        int(model.height),
+        ss,
+    )
+    img = np.asarray(img)
+    if blur_sigma > 0:
+        from scipy.ndimage import gaussian_filter
+
+        img = gaussian_filter(img, blur_sigma)
+    if noise > 0:
+        rng = np.random.default_rng(seed)
+        img = img + rng.normal(size=img.shape) * noise
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def gt_corners(model: GenericModel, board: Board, rvec, tvec):
+    """Exact projected corner positions + visibility mask."""
+    R = np.asarray(se3.exp_so3(jnp.asarray(rvec, dtype=jnp.float64)))
+    pc = board.p3d @ R.T + np.asarray(tvec)
+    p2d, valid = project_fn(model.name)(
+        jnp.asarray(model.params), jnp.asarray(pc, dtype=jnp.float64)
+    )
+    p2d = np.asarray(p2d)
+    valid = np.asarray(valid) & (pc[:, 2] > 0)
+    inside = (
+        (p2d[:, 0] >= 0)
+        & (p2d[:, 0] < model.width)
+        & (p2d[:, 1] >= 0)
+        & (p2d[:, 1] < model.height)
+    )
+    return p2d, valid & inside
+
+
+def front_view_base():
+    """Base board->camera rotation for a camera FACING the board.
+
+    The board frame has y up / z out of the board toward the viewer
+    (src/board.rs layout); a front-facing camera (x right, y down, z
+    forward) therefore sees it through R0 = rot_x(pi) = diag(1,-1,-1).
+    Rendering with R = I would show the board mirrored (seen from behind)
+    and no tag would decode.
+    """
+    return np.array([np.pi, 0.0, 0.0])
+
+
+def default_sequence_poses(n_frames: int, board: Board, seed: int = 0, span_scale=1.0):
+    """Handheld-like pose sweep keeping the board in view (front side)."""
+    rng = np.random.default_rng(seed)
+    span = float(
+        (board.p3d[:, :2].max(0) - board.p3d[:, :2].min(0)).max()
+    ) * span_scale
+    center = board.p3d.mean(0)
+    base = jnp.asarray(front_view_base())
+    poses = []
+    while len(poses) < n_frames:
+        pert = rng.normal(size=3) * np.array([0.3, 0.3, 0.5])
+        rv, _ = se3.compose(
+            jnp.asarray(pert), jnp.zeros(3), base, jnp.zeros(3)
+        )
+        rvec = np.asarray(rv)
+        dist = rng.uniform(0.55, 1.15) * span
+        offset = rng.normal(size=2) * 0.25 * span
+        R = np.asarray(se3.exp_so3(jnp.asarray(rvec)))
+        t = np.array([offset[0], offset[1], dist]) - R @ center
+        pc = board.p3d @ R.T + t
+        if (pc[:, 2] <= 0.05 * span).any():
+            continue
+        poses.append(np.concatenate([rvec, t]))
+    return np.stack(poses)
+
+
+def write_euroc_dataset(
+    out_dir: str,
+    model: GenericModel,
+    n_frames: int = 40,
+    cam_num: int = 1,
+    extrinsics=None,
+    board: Board = None,
+    family: TagFamily = None,
+    seed: int = 0,
+    noise: float = 2.0,
+):
+    """Materialize a EuRoC-layout dataset ({root}/mav0/cam{i}/data/*.png)
+    of rendered frames; returns (poses (F,6), model)."""
+    import imageio.v3 as iio
+
+    board = board or Board(BoardConfig())
+    family = family or get_family("t36h11")
+    poses = default_sequence_poses(n_frames, board, seed=seed)
+    cams = cam_num if extrinsics is not None else 1
+    for ci in range(cam_num):
+        d = os.path.join(out_dir, "mav0", f"cam{ci}", "data")
+        os.makedirs(d, exist_ok=True)
+        for f in range(n_frames):
+            rvec, tvec = poses[f, :3], poses[f, 3:]
+            if extrinsics is not None and ci > 0:
+                r_i0, t_i0 = extrinsics[ci][:3], extrinsics[ci][3:]
+                rvec, tvec = [
+                    np.asarray(v)
+                    for v in se3.compose(
+                        jnp.asarray(r_i0), jnp.asarray(t_i0),
+                        jnp.asarray(rvec), jnp.asarray(tvec),
+                    )
+                ]
+            img = render_board_image(
+                model, board, family, rvec, tvec, noise=noise, seed=seed * 1000 + f
+            )
+            t_ns = 10_000_000_000 + f * 100_000_000
+            iio.imwrite(os.path.join(d, f"{t_ns}.png"), img)
+    return poses, model
+
+
+def _main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description="render a synthetic EuRoC dataset")
+    ap.add_argument("out_dir")
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--cam-num", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    model = GenericModel(
+        "eucm", [190.9, 190.87, 254.94, 256.86, 0.628, 1.046], 512, 512
+    )
+    poses, _ = write_euroc_dataset(
+        os.path.join(args.out_dir, "dataset"),
+        model,
+        n_frames=args.frames,
+        cam_num=args.cam_num,
+        seed=args.seed,
+    )
+    print(f"wrote {args.frames} frames to {args.out_dir}/dataset (EuRoC layout)")
+
+
+if __name__ == "__main__":
+    _main()

@@ -1,0 +1,120 @@
+"""AprilGrid detector tests: synthetic ground truth + the reference's real
+bundled images (data/euroc.png, data/tum_vi_with_chart.png)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccrs_tpu.board import create_default_6x6_board
+from ccrs_tpu.detect import TagDetector, get_family
+from ccrs_tpu.models import GenericModel
+from ccrs_tpu.solve import se3
+from ccrs_tpu.testdata import front_view_base, gt_corners, render_board_image
+
+EUROC_PNG = "/root/reference/data/euroc.png"
+TUMVI_PNG = "/root/reference/data/tum_vi_with_chart.png"
+
+
+def _load_gray(path):
+    import imageio.v3 as iio
+
+    return iio.imread(path)  # detector normalizes dtype/channels itself
+
+
+@pytest.fixture(scope="module")
+def synth_view():
+    board = create_default_6x6_board()
+    fam = get_family("t36h11")
+    model = GenericModel(
+        "eucm", [190.9, 190.87, 254.94, 256.86, 0.628, 1.046], 512, 512
+    )
+    base = jnp.asarray(front_view_base())
+    rv, _ = se3.compose(jnp.asarray([0.15, -0.1, 0.05]), jnp.zeros(3), base, jnp.zeros(3))
+    rvec = np.asarray(rv)
+    R = np.asarray(se3.exp_so3(jnp.asarray(rvec)))
+    t = np.array([0.0, 0.0, 0.5]) - R @ board.p3d.mean(0)
+    img = render_board_image(model, board, fam, rvec, t)
+    p2d, vis = gt_corners(model, board, rvec, t)
+    return img, p2d, vis
+
+
+def test_synthetic_detection_accuracy(synth_view):
+    img, p2d, vis = synth_view
+    det = TagDetector("t36h11")
+    tags = det.detect(img)
+    assert len(tags) >= 28, f"only {len(tags)} tags"
+    errs = []
+    for tid, cs in tags.items():
+        assert 0 <= tid < 36
+        for c in range(4):
+            cid = tid * 4 + c
+            if vis[cid]:
+                errs.append(np.linalg.norm(cs[c] - p2d[cid]))
+    errs = np.array(errs)
+    assert errs.mean() < 0.15, f"mean corner err {errs.mean()}"
+    assert errs.max() < 0.8, f"max corner err {errs.max()}"
+
+
+def test_refine_improves_accuracy(synth_view):
+    img, p2d, vis = synth_view
+
+    def err_of(refine):
+        tags = TagDetector("t36h11", refine=refine).detect(img)
+        errs = [
+            np.linalg.norm(cs[c] - p2d[tid * 4 + c])
+            for tid, cs in tags.items()
+            for c in range(4)
+            if vis[tid * 4 + c]
+        ]
+        return np.mean(errs)
+
+    assert err_of(True) < err_of(False)
+
+
+def test_euroc_real_image():
+    """All 36 board tags on the reference's bundled EuRoC frame (the
+    OpenCV aruco detector finds 31 on this image)."""
+    img = _load_gray(EUROC_PNG)
+    tags = TagDetector("t36h11").detect(img)
+    assert len(tags) >= 33, f"{len(tags)} tags on euroc.png"
+    assert set(tags) <= set(range(36))
+
+
+def test_tumvi_real_image():
+    img = _load_gray(TUMVI_PNG)
+    tags = TagDetector("t36h11").detect(img)
+    assert len(tags) >= 25, f"{len(tags)} tags on tum_vi_with_chart.png"
+
+
+def test_batch_matches_single(synth_view):
+    img, _, _ = synth_view
+    det = TagDetector("t36h11")
+    single = det.detect(img)
+    batched = det.detect_batch(np.stack([img, img]))
+    assert set(single) == set(batched[0]) == set(batched[1])
+    for tid in single:
+        np.testing.assert_allclose(batched[0][tid], single[tid], atol=1e-5)
+
+
+def test_empty_image():
+    img = np.full((240, 320), 128, np.uint8)
+    assert TagDetector("t36h11").detect(img) == {}
+
+
+def test_rotated_image_decodes(synth_view):
+    """Rotating the view 90 deg must still decode the same ids with the
+    rotation-resolved canonical corner order."""
+    img, _, _ = synth_view
+    det = TagDetector("t36h11")
+    base = det.detect(img)
+    rot = np.rot90(img).copy()
+    tags_rot = det.detect(rot)
+    common = set(base) & set(tags_rot)
+    assert len(common) >= 0.8 * len(base)
+    H = img.shape[0]
+    for tid in list(common)[:10]:
+        # (x,y) in rotated image maps back: np.rot90 (CCW): x' = y, y' = H-1-x
+        back = np.stack(
+            [H - 1 - tags_rot[tid][:, 1], tags_rot[tid][:, 0]], axis=1
+        )
+        np.testing.assert_allclose(back, base[tid], atol=1.0)
