@@ -40,6 +40,17 @@ def find_best_two_frames(batch: FrameBatch, random_pick: bool = False, rng=None)
     counts = batch.counts()
     max_det = counts.max()
     cand = np.flatnonzero(counts == max_det)
+    if len(cand) < 2:
+        # Robustness improvement over the reference (util.rs:168-219, whose
+        # degenerate single-max case returns the SAME frame twice and can
+        # poison the two-frame init): widen to near-max frames so the two
+        # init frames are always distinct when possible.
+        near = np.flatnonzero(counts >= 0.9 * max_det)
+        if len(near) >= 2:
+            cand = near
+        else:
+            order = np.argsort(counts)[::-1]
+            cand = order[: min(2, len(order))]
     if random_pick:
         rng = rng or np.random.default_rng()
         pick = rng.permutation(cand)
@@ -50,13 +61,21 @@ def find_best_two_frames(batch: FrameBatch, random_pick: bool = False, rng=None)
     centers = (pts * m).sum(1) / np.maximum(m.sum(1), 1)
     avg_all = centers.mean(0)
     d2 = ((centers - avg_all) ** 2).sum(-1)
-    idx_far = cand[int(np.argmax(d2))]
     # covered axis-aligned area
     big = np.where(batch.mask[cand][..., None], pts, np.nan)
     area = (np.nanmax(big[:, :, 0], 1) - np.nanmin(big[:, :, 0], 1)) * (
         np.nanmax(big[:, :, 1], 1) - np.nanmin(big[:, :, 1], 1)
     )
     idx_area = cand[int(np.argmax(area))]
+    # farthest-centroid frame, required distinct from idx_area when
+    # possible (the reference can return the same frame twice, which makes
+    # the two-view init degenerate)
+    order = np.argsort(d2)[::-1]
+    idx_far = idx_area
+    for j in order:
+        if cand[j] != idx_area:
+            idx_far = cand[j]
+            break
     return int(idx_area), int(idx_far)
 
 

@@ -68,7 +68,7 @@ def init_and_calibrate_one_camera(
     else:
         one_focal, fixed_focal = calib_params.one_focal, False
 
-    return calib_camera(
+    result = calib_camera(
         board,
         batch,
         final_model,
@@ -76,6 +76,23 @@ def init_and_calibrate_one_camera(
         disabled_distortions=calib_params.disabled_distortion_num,
         fixed_focal=fixed_focal,
     )
+    if result is None:
+        return None
+    # Sanity gate (improvement over the reference, which only retries on
+    # solver failure): a "converged" solution with huge reprojection error
+    # means the init was degenerate — report failure so the retry ladder
+    # picks new frames instead of shipping garbage.
+    from .validate import reprojection_errors
+
+    model, rtvecs = result
+    per_frame = reprojection_errors(board, batch, model, rtvecs)
+    if per_frame:
+        errs = np.concatenate([e for _, e, _ in per_frame])
+        med = float(np.median(errs))
+        if med > 2.0:
+            log.warning("calibration sanity check failed (median %.2f px)", med)
+            return None
+    return result
 
 
 def calibrate_camera_with_retries(

@@ -1,0 +1,219 @@
+"""ccrs-compatible command-line interface.
+
+Mirrors the reference CLI surface and pipeline
+(``src/bin/camera_calibration.rs:25-344``): same positional dataset path,
+same flags and defaults, same output artifact set
+(``default_board_config.json``, ``results/<timestamp>/{logging.rrd,
+cam{i}.json, cam{i}_poses.json, extrinsics.json, report.txt}``).
+
+Run as ``python -m ccrs_tpu <dataset> --model eucm ...`` (or the ``ccrs``
+console script when installed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+from datetime import datetime
+from typing import Dict, List
+
+import numpy as np
+
+from .board import Board, BoardConfig
+from .calib import validation
+from .calib.frames import FrameBatch
+from .calib.multi import calib_all_camera_with_extrinsics, init_camera_extrinsic
+from .calib.pipeline import MAX_TRIALS, init_and_calibrate_one_camera
+from .dataloader import load_euroc, load_general
+from .detect import FAMILY_NAMES, TagDetector
+from .io import object_from_json, object_to_json, write_report
+from .models import MODEL_NAMES, model_to_json, zeros_like_model
+from .types import CalibParams, Extrinsics, RvecTvec
+from .visualization import Recorder
+
+log = logging.getLogger(__name__)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ccrs",
+        description="TPU-native camera intrinsic calibration from AprilGrid images",
+    )
+    p.add_argument("path", help="path to image folder")
+    p.add_argument("--tag-family", default="t36h11", choices=FAMILY_NAMES)
+    p.add_argument("-m", "--model", default="eucm", choices=list(MODEL_NAMES))
+    p.add_argument("--start-idx", type=int, default=0)
+    p.add_argument("--step", type=int, default=1)
+    p.add_argument("--max-images", type=int, default=600)
+    p.add_argument("--cam-num", type=int, default=1)
+    p.add_argument("--board-config", default=None)
+    p.add_argument("-o", "--output-folder", default=None)
+    p.add_argument("--dataset-format", default="euroc", choices=["euroc", "general"])
+    p.add_argument("--one-focal", action="store_true")
+    p.add_argument("--disabled-distortion-num", type=int, default=0)
+    p.add_argument("--fixed-focal", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0, help="PRNG seed (RANSAC/retries)")
+    p.add_argument("--no-rerun", action="store_true", help="skip .rrd logging")
+    p.add_argument(
+        "--platform",
+        default="auto",
+        choices=["auto", "cpu", "tpu"],
+        help="JAX backend to run on (auto = environment default)",
+    )
+    return p
+
+
+def setup_board(args) -> Board:
+    if args.board_config:
+        return Board.from_config(BoardConfig.from_json(object_from_json(args.board_config)))
+    config = BoardConfig()
+    object_to_json("default_board_config.json", config.to_json())
+    return Board.from_config(config)
+
+
+def setup_output_folder(args) -> str:
+    folder = args.output_folder or datetime.now().strftime("results/%Y%m%d_%H_%M_%S")
+    os.makedirs(folder, exist_ok=True)
+    return folder
+
+
+def load_feature_data(args, detector, board, recorder) -> List[FrameBatch]:
+    print("Start loading images and detecting charts.")
+    t0 = time.perf_counter()
+    loader = load_euroc if args.dataset_format == "euroc" else load_general
+    batches = loader(
+        args.path, detector, board, args.start_idx, args.step, args.cam_num, recorder
+    )
+    dt = time.perf_counter() - t0
+    print(f"detecting feature took {dt:.6f} sec")
+    if batches and batches[0].n_frames:
+        print(f"total: {batches[0].n_frames} images")
+        print(f"avg: {dt / batches[0].n_frames} sec")
+    for cam_idx, b in enumerate(batches):
+        if b.n_frames == 0:
+            raise SystemExit(
+                f"no images found for cam{cam_idx} under {args.path!r} "
+                f"(dataset format: {args.dataset_format})"
+            )
+        if not b.frame_ok().any():
+            raise SystemExit(
+                f"no frame of cam{cam_idx} has >= 24 detected corners; "
+                "check --tag-family and --board-config"
+            )
+    return [b.truncate(args.max_images) for b in batches]
+
+
+def calibrate_all_cameras(args, board, batches, recorder, key):
+    import jax
+
+    intrinsics, cam_rtvecs = [], []
+    for cam_idx, batch in enumerate(batches):
+        calib_params = CalibParams(
+            fixed_focal=args.fixed_focal if cam_idx == 0 else None,
+            disabled_distortion_num=args.disabled_distortion_num,
+            one_focal=args.one_focal,
+        )
+        rng = np.random.default_rng(args.seed + cam_idx)
+        result = None
+        for trial in range(MAX_TRIALS):
+            key, sub = jax.random.split(key)
+            result = init_and_calibrate_one_camera(
+                board, batch, zeros_like_model(args.model), calib_params, sub,
+                random_pick_two_frames=trial > 0, rng=rng,
+            )
+            if result is not None:
+                break
+        if result is None:
+            raise SystemExit(
+                f"Failed to calibrate cam{cam_idx} after {MAX_TRIALS} times"
+            )
+        model, rtvecs = result
+        intrinsics.append(model)
+        cam_rtvecs.append(rtvecs)
+    return intrinsics, cam_rtvecs
+
+
+def save_and_validate_results(
+    args, output_folder, board, batches, intrinsics, cam_rtvecs, t_cam_i_0, recorder
+):
+    joint = calib_all_camera_with_extrinsics(
+        board,
+        intrinsics,
+        t_cam_i_0,
+        cam_rtvecs,
+        batches,
+        xy_same_focal=args.one_focal or args.fixed_focal is not None,
+        disabled_distortions=args.disabled_distortion_num,
+        cam0_fixed_focal=args.fixed_focal is not None,
+    )
+    rep_rms = []
+    if joint is not None:
+        cam_models, t_i_0, board_rtvecs = joint
+        for cam_idx, model in enumerate(cam_models):
+            model_to_json(f"{output_folder}/cam{cam_idx}.json", model)
+            new_rtvecs: Dict[int, RvecTvec] = {
+                f: t_i_0[cam_idx].compose(t_0_b) for f, t_0_b in board_rtvecs.items()
+            }
+            object_to_json(
+                f"{output_folder}/cam{cam_idx}_poses.json",
+                {str(f): rt.to_json() for f, rt in sorted(new_rtvecs.items())},
+            )
+            recorder.log_camera_transform(
+                cam_idx, np.linalg.inv(t_i_0[cam_idx].to_matrix())
+            )
+            rep = validation(
+                board, batches[cam_idx], model, new_rtvecs, recorder, cam_idx
+            )
+            rep_rms.append(rep)
+            print(f"Cam {cam_idx} final params with extrinsic")
+        write_report(f"{output_folder}/report.txt", True, rep_rms)
+        object_to_json(f"{output_folder}/extrinsics.json", Extrinsics(t_i_0))
+        return cam_models, t_i_0
+    # joint solve failed: fall back to per-camera results
+    for cam_idx, (model, rtvecs) in enumerate(zip(intrinsics, cam_rtvecs)):
+        rep = validation(board, batches[cam_idx], model, rtvecs, recorder, cam_idx)
+        rep_rms.append(rep)
+        model_to_json(f"{output_folder}/cam{cam_idx}.json", model)
+        object_to_json(
+            f"{output_folder}/cam{cam_idx}_poses.json",
+            {str(f): rt.to_json() for f, rt in sorted(rtvecs.items())},
+        )
+    write_report(f"{output_folder}/report.txt", False, rep_rms)
+    return intrinsics, None
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=os.environ.get("CCRS_LOG", "WARNING").upper(),
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    args = build_parser().parse_args(argv)
+    import jax
+
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
+
+    detector = TagDetector(args.tag_family)
+    board = setup_board(args)
+    output_folder = setup_output_folder(args)
+    recorder = Recorder(
+        None if args.no_rerun else f"{output_folder}/logging.rrd"
+    )
+
+    batches = load_feature_data(args, detector, board, recorder)
+    key = jax.random.PRNGKey(args.seed)
+    key, sub = jax.random.split(key)
+    intrinsics, cam_rtvecs = calibrate_all_cameras(args, board, batches, recorder, sub)
+    t_cam_i_0 = init_camera_extrinsic(cam_rtvecs)
+    for t in t_cam_i_0:
+        print(f"r {t.rvec} t {t.tvec}")
+    save_and_validate_results(
+        args, output_folder, board, batches, intrinsics, cam_rtvecs, t_cam_i_0, recorder
+    )
+    print(f"results written to {output_folder}")
+
+
+if __name__ == "__main__":
+    main()

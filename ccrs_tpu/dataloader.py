@@ -1,0 +1,160 @@
+"""Dataset loaders: EuRoC and general folder layouts.
+
+Rebuilds ``load_euroc`` / ``load_others`` (``src/data_loader.rs:95-214``)
+around the batch-first detector: instead of rayon-parallel per-image
+detection, images are decoded on host worker threads while the detector
+consumes them in fixed-size batches on the device (decode overlaps
+detection).  Frame order, timestamp conventions (filename ns for EuRoC,
+idx * 1e8 for general), start/step subsampling, and the MIN_CORNERS filter
+match the reference.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import glob
+import logging
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .board import Board
+from .calib.frames import MIN_CORNERS, FrameBatch
+from .detect import TagDetector
+
+log = logging.getLogger(__name__)
+
+DETECT_BATCH = 16
+_EXTS = (".png", ".jpg")
+
+
+def _imread(path: str) -> np.ndarray:
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is not None:
+            if img.ndim == 3:
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+            return img
+    except ImportError:
+        pass
+    import imageio.v3 as iio
+
+    return iio.imread(path)
+
+
+def _list_images(pattern: str, start_idx: int, step: int) -> List[str]:
+    paths = sorted(p for p in glob.glob(pattern, recursive=True)
+                   if p.endswith(_EXTS))
+    return paths[start_idx::step]
+
+
+def _path_timestamp(path: str) -> int:
+    """Filename (sans extension) as nanoseconds; 0 if unparsable
+    (``src/data_loader.rs:20-29``)."""
+    stem = os.path.splitext(os.path.basename(path))[0]
+    try:
+        return int(stem)
+    except ValueError:
+        return 0
+
+
+def _detect_sequence(
+    paths: List[str],
+    times_ns: List[int],
+    detector: TagDetector,
+    board: Board,
+    recorder=None,
+    cam_idx: int = 0,
+) -> FrameBatch:
+    """Decode + detect a whole sequence, overlapping host IO with device
+    detection; returns a timestamp-sorted FrameBatch."""
+    if not paths:
+        return FrameBatch(
+            np.zeros(0, np.int64), np.zeros((0, board.n_corners, 2)),
+            np.zeros((0, board.n_corners), bool), 0, 0,
+        )
+    order = np.argsort(np.asarray(times_ns, dtype=np.int64), kind="stable")
+    paths = [paths[i] for i in order]
+    times_ns = [times_ns[i] for i in order]
+
+    detections = []
+    width = height = None
+    with cf.ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as pool:
+        futures = [pool.submit(_imread, p) for p in paths]
+        chunk_imgs, chunk_meta = [], []
+
+        def flush():
+            nonlocal chunk_imgs, chunk_meta
+            if not chunk_imgs:
+                return
+            dets = detector.detect_batch(np.stack(chunk_imgs))
+            detections.extend(dets)
+            if recorder is not None:
+                for (t_ns, img), det in zip(chunk_meta, dets):
+                    recorder.log_camera_image(cam_idx, t_ns, img, det)
+            chunk_imgs, chunk_meta = [], []
+
+        for t_ns, fut in zip(times_ns, futures):
+            img = fut.result()
+            if width is None:
+                height, width = img.shape[:2]
+            chunk_imgs.append(img)
+            chunk_meta.append((t_ns, img))
+            if len(chunk_imgs) >= DETECT_BATCH:
+                flush()
+        flush()
+
+    return FrameBatch.from_detections(
+        detections, times_ns, board, width, height, MIN_CORNERS
+    )
+
+
+def load_euroc(
+    root: str,
+    detector: TagDetector,
+    board: Board,
+    start_idx: int = 0,
+    step: int = 1,
+    cam_num: int = 1,
+    recorder=None,
+) -> List[FrameBatch]:
+    """EuRoC layout: {root}/mav0/cam{i}/data/* (``src/data_loader.rs:95``)."""
+    out = []
+    for cam_idx in range(cam_num):
+        t0 = time.perf_counter()
+        paths = _list_images(
+            os.path.join(root, "mav0", f"cam{cam_idx}", "data", "*"), start_idx, step
+        )
+        times = [_path_timestamp(p) for p in paths]
+        batch = _detect_sequence(paths, times, detector, board, recorder, cam_idx)
+        log.info(
+            "cam%d: %d images, %d usable frames, %.3fs",
+            cam_idx, len(paths), int(batch.frame_ok().sum()), time.perf_counter() - t0,
+        )
+        out.append(batch)
+    return out
+
+
+def load_general(
+    root: str,
+    detector: TagDetector,
+    board: Board,
+    start_idx: int = 0,
+    step: int = 1,
+    cam_num: int = 1,
+    recorder=None,
+) -> List[FrameBatch]:
+    """General layout: {root}/**/cam{i}/**/* with synthetic timestamps
+    idx * 1e8 ns (``src/data_loader.rs:160-214``)."""
+    out = []
+    for cam_idx in range(cam_num):
+        paths = _list_images(
+            os.path.join(root, "**", f"cam{cam_idx}", "**", "*"), start_idx, step
+        )
+        times = [i * 100_000_000 for i in range(len(paths))]
+        out.append(_detect_sequence(paths, times, detector, board, recorder, cam_idx))
+    return out

@@ -303,3 +303,193 @@ def ba_solve(
     )
     theta, poses, _, cost, it, _ = jax.lax.while_loop(cond, body, state)
     return BAResult(theta, poses, cost, it)
+
+
+# --------------------------------------------------------------------------
+# multi-camera joint bundle adjustment
+# --------------------------------------------------------------------------
+
+
+class MultiBAResult(NamedTuple):
+    theta: jnp.ndarray  # (C, k)
+    ext: jnp.ndarray  # (C, 6) T_cam_i<-cam0 (row 0 pinned identity)
+    poses: jnp.ndarray  # (F, 6) board->cam0
+    cost: jnp.ndarray
+    n_iters: jnp.ndarray
+
+
+@partial(
+    jax.jit,
+    static_argnames=("project_fn", "one_focal", "max_iters", "huber_delta"),
+)
+def ba_solve_multi(
+    project_fn,
+    theta0,
+    ext0,
+    poses0,
+    p3d,
+    p2d,
+    w,
+    lo,
+    hi,
+    free,
+    cam_frame_valid,
+    frame_valid,
+    one_focal: bool = False,
+    max_iters: int = 60,
+    huber_delta: float = 1.0,
+):
+    """Joint multi-camera BA: per-camera intrinsics + camera extrinsics
+    (T_i_0) + shared board poses (T_0_b per frame).
+
+    Replaces ``calib_all_camera_with_extrinsics`` (src/util.rs:567-715):
+    cam0 observations constrain (theta_0, T_0_b); cam i>0 observations
+    constrain (theta_i, T_i_0, T_0_b) through the chained transform
+    T_i_0 * T_0_b (the OtherCamReprojectionFactor, factors.rs:204-228).
+    Board poses are Schur-eliminated (F independent 6x6 blocks); the
+    reduced system is (C*k + 6C) dense, solved by Cholesky.
+
+    Args:
+      theta0: (C, k) reduced intrinsics per camera.
+      ext0: (C, 6) extrinsics rvec|tvec; row 0 must be zeros (pinned).
+      poses0: (F, 6) board->cam0 poses.
+      p2d/w: (C, F, N, 2) observations and (C, F, N) weights.
+      lo/hi/free: (C, k) per-camera bounds/free masks on theta.
+      cam_frame_valid: (C, F) camera c contributes frame f.
+      frame_valid: (F,) frame participates at all.
+    """
+    C, F, N, _ = p2d.shape
+    k = theta0.shape[1]
+    dtype = theta0.dtype
+    M = C * k + C * 6
+    opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta)
+    w = w * cam_frame_valid[:, :, None] * frame_valid[None, :, None]
+
+    # e_0 is pinned to identity; its columns get unit diagonal below
+    ext_free = jnp.concatenate(
+        [jnp.zeros((1, 6), dtype), jnp.ones((C - 1, 6), dtype)], axis=0
+    )
+
+    def cam_residual(c, theta_c, e_c, pose_f, p2d_cf):
+        params = expand_theta(theta_c, one_focal)
+        rv, tv = pose_f[:3], pose_f[3:]
+        if c == 0:
+            pc = se3.transform(rv, tv, p3d)
+        else:
+            rvc, tvc = se3.compose(e_c[:3], e_c[3:], rv, tv)
+            pc = se3.transform(rvc, tvc, p3d)
+        proj, _ = project_fn(params, pc)
+        return proj - p2d_cf
+
+    def cost_of(theta, ext, poses):
+        total = jnp.zeros((), dtype)
+        for c in range(C):
+            r = jax.vmap(
+                lambda pose_f, p2d_cf: cam_residual(c, theta[c], ext[c], pose_f, p2d_cf)
+            )(poses, p2d[c])
+            r2 = jnp.sum(r * r, axis=-1)
+            total = total + jnp.sum(w[c] * huber_cost(r2, huber_delta))
+        return total
+
+    def body(state):
+        theta, ext, poses, lam, cost, it, done = state
+        U = jnp.zeros((M, M), dtype)
+        g_x = jnp.zeros((M,), dtype)
+        A = jnp.zeros((F, 6, 6), dtype)
+        B = jnp.zeros((F, M, 6), dtype)
+        g_p = jnp.zeros((F, 6), dtype)
+
+        for c in range(C):
+            def rfun(th, e, po, p2d_cf):
+                return cam_residual(c, th, e, po, p2d_cf)
+
+            def frame_jac(po, p2d_cf):
+                Jt, Je, Jp = jax.jacfwd(rfun, argnums=(0, 1, 2))(
+                    theta[c], ext[c], po, p2d_cf
+                )
+                r = rfun(theta[c], ext[c], po, p2d_cf)
+                return r, Jt, Je, Jp
+
+            r, Jt, Je, Jp = jax.vmap(frame_jac)(poses, p2d[c])
+            Jt = Jt * free[c][None, None, None, :]
+            Je = Je * ext_free[c][None, None, None, :]
+            r2 = jnp.sum(r * r, axis=-1)
+            wt = w[c] * huber_block_weight(r2, huber_delta)  # (F,N)
+
+            ti = c * k
+            ei = C * k + c * 6
+            Utt = jnp.einsum("fnri,fnrj,fn->ij", Jt, Jt, wt)
+            Uee = jnp.einsum("fnri,fnrj,fn->ij", Je, Je, wt)
+            Ute = jnp.einsum("fnri,fnrj,fn->ij", Jt, Je, wt)
+            U = U.at[ti : ti + k, ti : ti + k].add(Utt)
+            U = U.at[ei : ei + 6, ei : ei + 6].add(Uee)
+            U = U.at[ti : ti + k, ei : ei + 6].add(Ute)
+            U = U.at[ei : ei + 6, ti : ti + k].add(Ute.T)
+            g_x = g_x.at[ti : ti + k].add(jnp.einsum("fnri,fnr,fn->i", Jt, r, wt))
+            g_x = g_x.at[ei : ei + 6].add(jnp.einsum("fnri,fnr,fn->i", Je, r, wt))
+            A = A + jnp.einsum("fnri,fnrj,fn->fij", Jp, Jp, wt)
+            B = B.at[:, ti : ti + k, :].add(jnp.einsum("fnri,fnrj,fn->fij", Jt, Jp, wt))
+            B = B.at[:, ei : ei + 6, :].add(jnp.einsum("fnri,fnrj,fn->fij", Je, Jp, wt))
+            g_p = g_p + jnp.einsum("fnri,fnr,fn->fi", Jp, r, wt)
+
+        full_free = jnp.concatenate([free.reshape(-1), ext_free.reshape(-1)])
+        U = U + jnp.diag(1.0 - full_free)
+
+        def try_step(lam):
+            Ud = U + lam * jnp.diag(jnp.maximum(jnp.diagonal(U), 1e-12))
+            Ad = A + lam * jax.vmap(
+                lambda a: jnp.diag(jnp.maximum(jnp.diagonal(a), 1e-12))
+            )(A)
+            eye6 = jnp.eye(6, dtype=dtype)
+            Ad = jnp.where(frame_valid[:, None, None] > 0, Ad, eye6)
+            La = jax.vmap(jnp.linalg.cholesky)(Ad)
+            Ainv_Bt = jax.vmap(
+                lambda L, b: jax.scipy.linalg.cho_solve((L, True), b.T)
+            )(La, B)  # (F,6,M)
+            Ainv_g = jax.vmap(lambda L, g: jax.scipy.linalg.cho_solve((L, True), g))(
+                La, g_p
+            )
+            S = Ud - jnp.einsum("fij,fjk->ik", B, Ainv_Bt)
+            rhs = -(g_x - jnp.einsum("fik,fi->k", Ainv_Bt, g_p))
+            Ls = jnp.linalg.cholesky(S)
+            dx = jax.scipy.linalg.cho_solve((Ls, True), rhs)
+            dpo = -(Ainv_g + jnp.einsum("fim,m->fi", Ainv_Bt, dx))
+            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+            dpo = jnp.where(jnp.isfinite(dpo), dpo, 0.0)
+            dth = dx[: C * k].reshape(C, k) * free
+            dex = dx[C * k :].reshape(C, 6) * ext_free
+            th_new = jnp.clip(theta + dth, lo, hi)
+            ex_new = ext + dex
+            po_new = poses + dpo * frame_valid[:, None]
+            return th_new, ex_new, po_new
+
+        th_new, ex_new, po_new = try_step(lam)
+        c_new = cost_of(th_new, ex_new, po_new)
+        accept = c_new < cost
+        theta = jnp.where(accept, th_new, theta)
+        ext = jnp.where(accept, ex_new, ext)
+        poses = jnp.where(accept, po_new, poses)
+        lam = jnp.clip(
+            jnp.where(accept, lam * opts.lam_down, lam * opts.lam_up),
+            opts.lam_min,
+            opts.lam_max,
+        )
+        converged = accept & (cost - c_new <= opts.rtol * jnp.maximum(cost, 1e-300))
+        cost = jnp.where(accept, c_new, cost)
+        return theta, ext, poses, lam, cost, it + 1, done | converged
+
+    def cond(state):
+        return (~state[6]) & (state[5] < max_iters)
+
+    theta0 = jnp.clip(theta0, lo, hi)
+    state = (
+        theta0,
+        ext0,
+        poses0,
+        jnp.asarray(opts.lam0, dtype),
+        cost_of(theta0, ext0, poses0),
+        0,
+        jnp.asarray(False),
+    )
+    theta, ext, poses, _, cost, it, _ = jax.lax.while_loop(cond, body, state)
+    return MultiBAResult(theta, ext, poses, cost, it)

@@ -71,7 +71,13 @@ def log_so3(R):
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    # arccos has infinite slope at +-1; a residual that is EXACTLY identity
+    # (common: pose-graph init from its own first measurement) would poison
+    # jacfwd with NaNs and stall the whole LM solve.  Clipping the arccos
+    # domain keeps gradients finite (~1e7 at the boundary) while the branch
+    # selection below keeps values exact.
+    safe_cos = jnp.clip(cos_t, -1.0 + 1e-14, 1.0 - 1e-14)
+    theta = jnp.arccos(safe_cos)
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -86,8 +92,9 @@ def log_so3(R):
     # generic branch: theta / (2 sin theta) * w
     safe_sin = jnp.where(small | near_pi, jnp.ones_like(sin_t), sin_t)
     generic = w * (theta / (2.0 * safe_sin))[..., None]
-    # small: w/2 * (1 + theta^2/6)
-    small_branch = 0.5 * w * (1.0 + theta * theta / 6.0)[..., None]
+    # small: w/2 * (1 + theta^2/6), with theta^2 ~ 2(1-cos) (smooth in R)
+    th2 = 2.0 * jnp.maximum(1.0 - cos_t, 0.0)
+    small_branch = 0.5 * w * (1.0 + th2 / 6.0)[..., None]
     # near pi: axis from diagonal of (R + I)/2
     A = (R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)) / 2.0
     diag = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], -1)

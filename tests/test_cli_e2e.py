@@ -1,0 +1,69 @@
+"""CLI end-to-end test: rendered dataset on disk -> `ccrs` run -> artifacts.
+
+The TPU-native counterpart of the reference's CI acceptance run (the full
+binary on a real dataset, .github/workflows/rust.yml) with synthetic data
+(no network) and exact ground truth to assert against.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ccrs_tpu.cli import main
+from ccrs_tpu.models import GenericModel
+from ccrs_tpu.testdata import write_euroc_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    model = GenericModel(
+        "eucm", [190.9, 190.87, 254.94, 256.86, 0.628, 1.046], 512, 512
+    )
+    write_euroc_dataset(str(root / "dataset"), model, n_frames=22, seed=3, noise=1.5)
+    return root, model
+
+
+def test_cli_full_run(dataset, tmp_path, monkeypatch):
+    root, gt = dataset
+    out = tmp_path / "out"
+    monkeypatch.chdir(tmp_path)  # default_board_config.json goes to cwd
+    main(
+        [
+            str(root / "dataset"),
+            "--model", "eucm",
+            "--output-folder", str(out),
+            "--no-rerun",
+            "--seed", "1",
+        ]
+    )
+    # artifact set identical to the reference (bin:278-342)
+    assert (out / "cam0.json").exists()
+    assert (out / "cam0_poses.json").exists()
+    assert (out / "extrinsics.json").exists()
+    assert (out / "report.txt").exists()
+    assert os.path.exists("default_board_config.json")
+
+    blob = json.loads((out / "cam0.json").read_text())
+    assert "EUCM" in blob
+    p = blob["EUCM"]
+    assert abs(p["fx"] - gt.params[0]) / gt.params[0] < 0.01
+    assert abs(p["alpha"] - gt.params[4]) < 0.02
+
+    report = (out / "report.txt").read_text()
+    assert report.startswith("Calibrate with extrinsics: true")
+    med = float(report.split("median  reprojection error:")[1].split("px")[0])
+    assert med < 0.3, f"median reprojection {med}"
+
+    poses = json.loads((out / "cam0_poses.json").read_text())
+    assert len(poses) >= 15
+    first = next(iter(poses.values()))
+    assert set(first) == {"rvec", "tvec"}
+
+
+def test_cli_bad_path(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit):
+        main([str(tmp_path / "nope"), "--no-rerun"])

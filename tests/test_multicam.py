@@ -1,0 +1,108 @@
+"""Multi-camera extrinsic init + joint BA tests (synthetic stereo rig)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ccrs_tpu.board import create_default_6x6_board
+from ccrs_tpu.calib.frames import FrameBatch
+from ccrs_tpu.calib.multi import calib_all_camera_with_extrinsics, init_camera_extrinsic
+from ccrs_tpu.models import GenericModel
+from ccrs_tpu.models.projections import project_fn
+from ccrs_tpu.solve import se3
+from ccrs_tpu.types import RvecTvec
+
+from synthetic import make_synthetic_batch, tumvi_like_eucm
+
+
+def _stereo_case(seed=0, F=14):
+    board = create_default_6x6_board()
+    cam0 = tumvi_like_eucm()
+    cam1 = GenericModel("eucm", [192.0, 191.5, 255.5, 254.5, 0.61, 1.05], 512, 512)
+    batch0, poses_gt = make_synthetic_batch(cam0, board, n_frames=F, seed=seed)
+    # true extrinsic cam1<-cam0: small stereo baseline
+    r10 = np.array([0.02, -0.015, 0.005])
+    t10 = np.array([-0.11, 0.002, 0.004])
+    proj1 = project_fn("eucm")
+    p2d1 = np.zeros_like(batch0.p2d)
+    mask1 = np.zeros_like(batch0.mask)
+    for f in range(F):
+        rv, tv = se3.compose(
+            jnp.asarray(r10), jnp.asarray(t10),
+            jnp.asarray(poses_gt[f, :3]), jnp.asarray(poses_gt[f, 3:]),
+        )
+        pc = board.p3d @ np.asarray(se3.exp_so3(rv)).T + np.asarray(tv)
+        p2d, valid = proj1(jnp.asarray(cam1.params), jnp.asarray(pc))
+        p2d = np.asarray(p2d)
+        inside = (
+            np.asarray(valid)
+            & (p2d[:, 0] >= 0) & (p2d[:, 0] < 512)
+            & (p2d[:, 1] >= 0) & (p2d[:, 1] < 512)
+        )
+        p2d1[f] = np.where(inside[:, None], p2d, 0.0)
+        mask1[f] = inside
+    batch1 = FrameBatch(batch0.time_ns.copy(), p2d1, mask1, 512, 512)
+    return board, (cam0, cam1), (batch0, batch1), poses_gt, (r10, t10)
+
+
+def test_extrinsic_init_from_common_frames():
+    board, cams, batches, poses_gt, (r10, t10) = _stereo_case()
+    F = poses_gt.shape[0]
+    rng = np.random.default_rng(1)
+    rt0 = {f: RvecTvec(poses_gt[f, :3], poses_gt[f, 3:]) for f in range(F)}
+    rt1 = {}
+    for f in range(0, F, 1):
+        rv, tv = se3.compose(
+            jnp.asarray(r10), jnp.asarray(t10),
+            jnp.asarray(poses_gt[f, :3]), jnp.asarray(poses_gt[f, 3:]),
+        )
+        # mild noise so the pose-graph solve has work to do
+        rt1[f] = RvecTvec(
+            np.asarray(rv) + rng.normal(size=3) * 1e-4,
+            np.asarray(tv) + rng.normal(size=3) * 1e-4,
+        )
+    exts = init_camera_extrinsic([rt0, rt1])
+    assert np.allclose(exts[0].rvec, 0) and np.allclose(exts[0].tvec, 0)
+    np.testing.assert_allclose(exts[1].rvec, r10, atol=1e-4)
+    np.testing.assert_allclose(exts[1].tvec, t10, atol=1e-4)
+
+
+def test_joint_ba_recovers_stereo_rig():
+    board, (cam0, cam1), (batch0, batch1), poses_gt, (r10, t10) = _stereo_case(seed=2)
+    F = poses_gt.shape[0]
+    rng = np.random.default_rng(3)
+    # perturbed single-camera "results" as joint-BA input
+    cam0_in = cam0.copy()
+    cam0_in.set_params(cam0.params * (1 + rng.normal(size=6) * 0.01))
+    cam1_in = cam1.copy()
+    cam1_in.set_params(cam1.params * (1 + rng.normal(size=6) * 0.01))
+    rt0 = {
+        f: RvecTvec(
+            poses_gt[f, :3] + rng.normal(size=3) * 2e-3,
+            poses_gt[f, 3:] + rng.normal(size=3) * 2e-3,
+        )
+        for f in range(F)
+    }
+    rt1 = {}
+    for f in range(F):
+        rv, tv = se3.compose(
+            jnp.asarray(r10), jnp.asarray(t10),
+            jnp.asarray(poses_gt[f, :3]), jnp.asarray(poses_gt[f, 3:]),
+        )
+        rt1[f] = RvecTvec(
+            np.asarray(rv) + rng.normal(size=3) * 2e-3,
+            np.asarray(tv) + rng.normal(size=3) * 2e-3,
+        )
+    t_init = init_camera_extrinsic([rt0, rt1])
+    out = calib_all_camera_with_extrinsics(
+        board, [cam0_in, cam1_in], t_init, [rt0, rt1], [batch0, batch1],
+        xy_same_focal=False, disabled_distortions=0, cam0_fixed_focal=False,
+    )
+    assert out is not None
+    intrinsics, t_i_0, board_poses = out
+    np.testing.assert_allclose(intrinsics[0].params, cam0.params, rtol=1e-6)
+    np.testing.assert_allclose(intrinsics[1].params, cam1.params, rtol=1e-6)
+    np.testing.assert_allclose(t_i_0[1].rvec, r10, atol=1e-7)
+    np.testing.assert_allclose(t_i_0[1].tvec, t10, atol=1e-7)
+    assert len(board_poses) == F
+    for f in range(F):
+        np.testing.assert_allclose(board_poses[f].rvec, poses_gt[f, :3], atol=1e-6)
