@@ -23,10 +23,25 @@ Dataset layouts, board/model JSON schemas and output artifacts are kept
 interchangeable with the Rust reference.
 """
 
+import os as _os
+
 import jax
 
 # The calibration core targets <=1e-6 px agreement with the f64 reference
 # solver; enable x64 globally and keep image-path dtypes explicitly f32.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the pipeline compiles ~a dozen graphs
+# (threshold/decode/refine/RANSAC/PnP/BA variants); on the remote-compile
+# TPU backend each costs ~30-90s, so caching across processes matters.
+_cache_dir = _os.environ.get(
+    "CCRS_XLA_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".xla_cache"),
+)
+try:  # pragma: no cover - best effort
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 
 __version__ = "0.1.0"

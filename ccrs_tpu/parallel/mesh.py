@@ -1,0 +1,149 @@
+"""Multi-chip scaling: frame-sharded bundle adjustment over a device mesh.
+
+The calibration problem's only cross-frame coupling is the reduced
+(intrinsics) normal-equation system — pose blocks are per-frame — so the
+natural SPMD layout shards the frame batch across devices and ``psum``s the
+k x k Schur system over ICI (SURVEY.md §5 "Distributed communication
+backend": the JtJ/Jtr accumulation is the only collective).  Detection is
+embarrassingly frame-parallel and uses the same sharding.
+
+All code paths work on any ``jax.sharding.Mesh`` (real TPU slice or the
+virtual ``--xla_force_host_platform_device_count`` CPU mesh used in CI).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solve import se3
+from ..solve.lm import expand_theta, huber_block_weight
+
+FRAME_AXIS = "frames"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (FRAME_AXIS,))
+
+
+def pad_frames(arrs, n_devices: int):
+    """Pad leading (frame) axis to a multiple of the mesh size; returns
+    (padded arrays, original F).  Padding rows carry zero weight."""
+    F = arrs[0].shape[0]
+    pad = (-F) % n_devices
+    if pad == 0:
+        return list(arrs), F
+    out = []
+    for a in arrs:
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        out.append(jnp.pad(a, widths))
+    return out, F
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def make_ba_step(
+    project_fn, mesh: Mesh, one_focal: bool = False, huber_delta: float = 1.0, k: int = 6
+):
+    """Build (and cache) a JITTED frame-sharded LM step for a mesh.
+
+    Per-device: local residuals/Jacobians, local pose-block solves, local
+    partial Schur sums.  Cross-device: one ``psum`` of the (k,k) reduced
+    system + rhs (rides ICI); the tiny solve is computed replicated and
+    pose updates stay local.
+
+    Returned step: ``step(theta, poses, p3d, p2d, w, free, lam) ->
+    (theta_new, poses_new)``.
+    """
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(FRAME_AXIS), P(), P(FRAME_AXIS), P(FRAME_AXIS), P(), P()),
+        out_specs=(P(), P(FRAME_AXIS)),
+    )
+    def step(theta, poses, p3d, p2d, w, free, lam):
+        def frame_residual(th, pose, p2d_f):
+            params = expand_theta(th, one_focal)
+            pc = se3.transform(pose[:3], pose[3:], p3d)
+            proj, _ = project_fn(params, pc)
+            return proj - p2d_f
+
+        def frame_jac(pose, p2d_f):
+            Jt, Jp = jax.jacfwd(frame_residual, argnums=(0, 1))(theta, pose, p2d_f)
+            r = frame_residual(theta, pose, p2d_f)
+            return r, Jt, Jp
+
+        r, Jt, Jp = jax.vmap(frame_jac)(poses, p2d)
+        Jt = Jt * free[None, None, None, :]
+        r2 = jnp.sum(r * r, axis=-1)
+        wt = w * huber_block_weight(r2, huber_delta)
+
+        U = jnp.einsum("fnri,fnrj,fn->ij", Jt, Jt, wt)
+        A = jnp.einsum("fnri,fnrj,fn->fij", Jp, Jp, wt)
+        B = jnp.einsum("fnri,fnrj,fn->fij", Jt, Jp, wt)
+        g_t = jnp.einsum("fnri,fnr,fn->i", Jt, r, wt)
+        g_p = jnp.einsum("fnri,fnr,fn->fi", Jp, r, wt)
+
+        damp = lam * jnp.maximum(jnp.diagonal(A, axis1=1, axis2=2), 1e-12)
+        Ad = A + jax.vmap(jnp.diag)(damp)
+        # empty/padding frames: identity block, zero update
+        has_obs = jnp.sum(wt, axis=1) > 0
+        Ad = jnp.where(has_obs[:, None, None], Ad, jnp.eye(6, dtype=theta.dtype))
+        La = jax.vmap(jnp.linalg.cholesky)(Ad)
+        Ainv_Bt = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b.T))(La, B)
+        Ainv_g = jax.vmap(lambda L, g: jax.scipy.linalg.cho_solve((L, True), g))(La, g_p)
+
+        corr_local = jnp.einsum("fij,fjk->ik", B, Ainv_Bt)
+        rhs_local = -(g_t - jnp.einsum("fik,fi->k", Ainv_Bt, g_p))
+        # the one collective: reduce the k x k system over the frame axis
+        # (U, Schur correction, rhs stacked into a single psum)
+        packed = jnp.concatenate([U, corr_local, rhs_local[None, :]], axis=0)
+        packed = jax.lax.psum(packed, FRAME_AXIS)
+        U_tot, corr, rhs = packed[:k], packed[k : 2 * k], packed[2 * k]
+        # damping placement identical to ba_solve: unit diag for fixed vars,
+        # Marquardt scaling on U's diagonal, then subtract the correction
+        U_tot = U_tot + jnp.diag(1.0 - free)
+        Ud = U_tot + lam * jnp.diag(jnp.maximum(jnp.diagonal(U_tot), 1e-12))
+        S = Ud - corr
+        Ls = jnp.linalg.cholesky(S)
+        dth = jax.scipy.linalg.cho_solve((Ls, True), rhs)
+        dth = jnp.where(jnp.isfinite(dth), dth, 0.0)
+        dpo = -(Ainv_g + jnp.einsum("fik,k->fi", Ainv_Bt, dth))
+        dpo = jnp.where(jnp.isfinite(dpo) & has_obs[:, None], dpo, 0.0)
+        return theta + dth * free, poses + dpo
+
+    return step
+
+
+def ba_step_sharded(
+    project_fn,
+    theta,
+    poses,
+    p3d,
+    p2d,
+    w,
+    free,
+    lam,
+    mesh: Mesh,
+    one_focal: bool = False,
+    huber_delta: float = 1.0,
+):
+    """Convenience wrapper over the cached jitted step (see make_ba_step)."""
+    step = make_ba_step(project_fn, mesh, one_focal, huber_delta, int(theta.shape[0]))
+    return step(theta, poses, p3d, p2d, w, free, jnp.asarray(lam, theta.dtype))
+
+
+def sharded_frame_sharding(mesh: Mesh):
+    """NamedSharding for (F, ...) arrays sharded over the frame axis."""
+    return NamedSharding(mesh, P(FRAME_AXIS))
