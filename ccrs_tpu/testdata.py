@@ -65,7 +65,12 @@ def board_pattern_image(board: Board, family: TagFamily):
                         and family.border <= j < T - family.border
                     )
                     if inner:
-                        v = float(bits[i - family.border, j - family.border])
+                        # The print faces the board's -z side (front view
+                        # R = rot_z(pi), see front_view_base); painting the
+                        # canonical pattern on that face means its (x, y)
+                        # layout in board coordinates is x-mirrored.
+                        jj = (family.size - 1) - (j - family.border)
+                        v = float(bits[i - family.border, jj])
                     else:
                         v = 0.0
                     tex[ri0 + i, ci0 + j] = v
@@ -189,15 +194,15 @@ def gt_corners(model: GenericModel, board: Board, rvec, tvec):
 
 
 def front_view_base():
-    """Base board->camera rotation for a camera FACING the board.
+    """Base board->camera rotation for a camera FACING the printed side.
 
-    The board frame has y up / z out of the board toward the viewer
-    (src/board.rs layout); a front-facing camera (x right, y down, z
-    forward) therefore sees it through R0 = rot_x(pi) = diag(1,-1,-1).
-    Rendering with R = I would show the board mirrored (seen from behind)
-    and no tag would decode.
+    Measured on the reference's real EuRoC/TUM-VI frames: viewed from the
+    front, board +x points LEFT and +y points UP (tag ids increase
+    leftward, rows downward, patterns upright), i.e. the print is on the
+    board's -z face and the front view is R0 = rot_z(pi) = diag(-1,-1,1).
+    Any other base renders a mirrored board that no detector can decode.
     """
-    return np.array([np.pi, 0.0, 0.0])
+    return np.array([0.0, 0.0, np.pi])
 
 
 def default_sequence_poses(n_frames: int, board: Board, seed: int = 0, span_scale=1.0):
