@@ -26,7 +26,7 @@ from ..models import GenericModel
 from ..models.projections import project_ucm
 from ..solve.homography import homography_to_focal, radial_distortion_homography
 from ..solve.lm import ba_solve, reduce_params
-from ..solve.pnp import solve_pnp_planar
+from ..solve.pnp import solve_pnp_planar_batch
 from .frames import FrameBatch
 
 
@@ -95,15 +95,19 @@ def init_poses(board: Board, batch: FrameBatch, frame_ids, lam: float):
     initialization for the subsequent [f, alpha] fit.
     """
     p3d = jnp.asarray(board.p3d, dtype=jnp.float64)
-    out = []
+    qn_all, w_all = [], []
     for f in frame_ids:
         q, _ = _normalize(batch.p2d[f], batch.width, batch.height)
         sc = 1.0 + lam * np.sum(q * q, axis=-1)
-        qn = q / sc[..., None]
-        w = batch.mask[f].astype(np.float64)
-        r, t = solve_pnp_planar(p3d, jnp.asarray(qn), jnp.asarray(w))
-        out.append(np.concatenate([np.asarray(r), np.asarray(t)]))
-    return np.stack(out)
+        qn_all.append(q / sc[..., None])
+        w_all.append(batch.mask[f].astype(np.float64))
+    n = len(frame_ids)
+    r, t = solve_pnp_planar_batch(
+        jnp.broadcast_to(p3d, (n,) + p3d.shape),
+        jnp.asarray(np.stack(qn_all)),
+        jnp.asarray(np.stack(w_all)),
+    )
+    return np.concatenate([np.asarray(r), np.asarray(t)], axis=1)
 
 
 # full-UCM bounds used by the init stages

@@ -9,8 +9,10 @@ frame skip expressed as a frame mask.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,7 +20,7 @@ from ..board import Board
 from ..models import GenericModel
 from ..models.projections import project_fn, unproject_fn
 from ..solve.lm import ba_solve, expand_theta, reduce_params
-from ..solve.pnp import solve_pnp_planar_batch
+from ..solve.pnp import solve_pnp_planar
 from ..types import RvecTvec
 from .frames import FrameBatch
 
@@ -54,6 +56,28 @@ def disabled_free_mask(model: GenericModel, one_focal: bool, disabled: int):
     return free
 
 
+@partial(jax.jit, static_argnames=("unproj",))
+def _pose_init_device(unproj, params, p2d, mask, p3d):
+    """Whole per-frame pose init as ONE device graph: unproject -> x/z ->
+    batched planar PnP (remote dispatch latency makes eager op-by-op
+    execution ~50x slower here)."""
+    rays, uvalid = unproj(params, p2d)
+    uvalid = uvalid & mask
+    z = rays[..., 2:3]
+    z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+    obs = rays[..., :2] / z
+    obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
+    counts = jnp.sum(uvalid, axis=1)
+    frame_valid = (counts >= MIN_PNP_POINTS).astype(params.dtype)
+    w = uvalid.astype(params.dtype)
+    w_safe = jnp.where(frame_valid[:, None] > 0, w, 1.0)
+    p3d_b = jnp.broadcast_to(p3d, (p2d.shape[0],) + p3d.shape)
+    r, t = jax.vmap(solve_pnp_planar)(p3d_b, obs, w_safe)
+    poses = jnp.concatenate([r, t], axis=1)
+    poses = jnp.where(jnp.isfinite(poses), poses, 0.0)
+    return poses, frame_valid
+
+
 def init_frame_poses(board: Board, batch: FrameBatch, model: GenericModel):
     """Batched pose init for every frame: unproject observations through the
     current model, planar PnP on the valid ones (src/util.rs:418-439).
@@ -61,30 +85,14 @@ def init_frame_poses(board: Board, batch: FrameBatch, model: GenericModel):
     Returns (poses (F,6) np, frame_valid (F,) np) — frames with fewer than
     MIN_PNP_POINTS valid unprojections are masked out.
     """
-    unproj = unproject_fn(model.name)
-    rays, uvalid = unproj(jnp.asarray(model.params), jnp.asarray(batch.p2d))
-    rays = np.asarray(rays)
-    uvalid = np.asarray(uvalid) & batch.mask
-    z = rays[..., 2:3]
-    z = np.where(np.abs(z) > 1e-12, z, 1e-12)
-    obs = rays[..., :2] / z  # normalized plane
-    w = uvalid.astype(np.float64)
-    counts = uvalid.sum(axis=1)
-    frame_valid = (counts >= MIN_PNP_POINTS).astype(np.float64)
-    # guard all-zero weight rows for the batched PnP (result gated anyway)
-    w_safe = np.where(frame_valid[:, None] > 0, w, 1.0)
-    obs = np.where(np.isfinite(obs), obs, 0.0)
-    r, t = solve_pnp_planar_batch(
-        jnp.broadcast_to(
-            jnp.asarray(board.p3d, dtype=jnp.float64),
-            (batch.n_frames,) + board.p3d.shape,
-        ),
-        jnp.asarray(obs),
-        jnp.asarray(w_safe),
+    poses, frame_valid = _pose_init_device(
+        unproject_fn(model.name),
+        jnp.asarray(model.params),
+        jnp.asarray(batch.p2d),
+        jnp.asarray(batch.mask),
+        jnp.asarray(board.p3d, dtype=jnp.float64),
     )
-    poses = np.concatenate([np.asarray(r), np.asarray(t)], axis=1)
-    poses = np.where(np.isfinite(poses), poses, 0.0)
-    return poses, frame_valid
+    return np.asarray(poses), np.asarray(frame_valid)
 
 
 def calib_camera(

@@ -26,7 +26,7 @@ from .detect import TagDetector
 
 log = logging.getLogger(__name__)
 
-DETECT_BATCH = 16
+DETECT_BATCH = 64
 _EXTS = (".png", ".jpg")
 
 

@@ -21,9 +21,9 @@ import numpy as np
 
 from .decode import decode_quads
 from .families import TagFamily, get_family
-from .quads import MAX_QUADS, extract_quads_batch
+from .quads import MAX_QUADS, extract_quads_batch, refine_corners_native
 from .refine import refine_corners
-from .threshold import adaptive_threshold, pad_to_tile
+from .threshold import adaptive_threshold, adaptive_threshold_packed, pad_to_tile
 
 
 def _to_gray_f32(img: np.ndarray) -> np.ndarray:
@@ -51,11 +51,18 @@ class TagDetector:
       refine: run subpixel corner refinement (default True).
     """
 
-    def __init__(self, family="t36h11", refine: bool = True, max_quads: int = MAX_QUADS):
+    def __init__(
+        self,
+        family="t36h11",
+        refine: bool = True,
+        max_quads: int = MAX_QUADS,
+        native_refine: bool = True,
+    ):
         self.family: TagFamily = (
             family if isinstance(family, TagFamily) else get_family(family)
         )
         self.refine = refine
+        self.native_refine = native_refine
         self.max_quads = max_quads
 
     # ------------------------------------------------------------- batched
@@ -70,24 +77,43 @@ class TagDetector:
           TL, TR, BR, BL in the tag's canonical orientation (board corner
           ids tag*4 + {0,1,2,3}).
         """
-        imgs = np.stack([_to_gray_f32(im) for im in np.asarray(images)])
+        raw = np.asarray(images)
+        if raw.ndim == 3 and raw.dtype == np.uint8:
+            # fast path: already a uint8 grayscale batch — one vectorized
+            # conversion for the native-refine input, raw uint8 upload
+            # (4x cheaper over the link); threshold/decode cast on device
+            imgs = raw.astype(np.float32)
+            dev_imgs = jnp.asarray(raw)
+        else:
+            imgs = np.stack([_to_gray_f32(im) for im in raw])
+            dev_imgs = jnp.asarray(imgs)
         B, H, W = imgs.shape
-        dev_imgs = jnp.asarray(imgs)
         padded, _, _ = pad_to_tile(dev_imgs)
-        binary = np.asarray(adaptive_threshold(padded))[:, :H, :W]
+        pw = padded.shape[-1]
+        packed = np.asarray(adaptive_threshold_packed(padded))
+        binary = np.unpackbits(packed, axis=-1, count=pw)[:, :H, :W]
         quads, counts = extract_quads_batch(binary, max_quads=self.max_quads)
         if counts.max(initial=0) == 0:
             return [dict() for _ in range(B)]
 
-        quads_j = jnp.asarray(quads)
+        dev_f32 = dev_imgs.astype(jnp.float32)
         if self.refine:
             # subpixel-refine ALL candidate corners BEFORE decoding: the
             # sharper homographies make bit sampling markedly more reliable
             # on small/strongly-distorted tags.
-            flat = quads_j.reshape(B, -1, 2)
-            quads_j = refine_corners(dev_imgs, flat).reshape(quads_j.shape)
+            if self.native_refine:
+                quads = refine_corners_native(
+                    imgs, quads.reshape(B, -1, 2)
+                ).reshape(quads.shape)
+                quads_j = jnp.asarray(quads)
+            else:
+                quads_j = refine_corners(
+                    dev_f32, jnp.asarray(quads).reshape(B, -1, 2)
+                ).reshape(quads.shape)
+        else:
+            quads_j = jnp.asarray(quads)
 
-        out = decode_quads(self.family, dev_imgs, quads_j, jnp.asarray(counts))
+        out = decode_quads(self.family, dev_f32, quads_j, jnp.asarray(counts))
         tag_id = np.asarray(out["tag_id"])
         hamming = np.asarray(out["hamming"])
         valid = np.asarray(out["valid"])

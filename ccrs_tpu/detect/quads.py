@@ -50,6 +50,14 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_float,
         ]
         lib.quadproc_extract_batch.restype = None
+        lib.refine_corners_native.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # imgs
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # B H W
+            ctypes.POINTER(ctypes.c_float),  # corners (n,2) in/out
+            ctypes.POINTER(ctypes.c_int32),  # img_idx (n,)
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n, win, iters
+        ]
+        lib.refine_corners_native.restype = None
         _lib = lib
         return lib
 
@@ -83,3 +91,32 @@ def extract_quads_batch(
         max_quads, min_area, ctypes.c_float(min_fill),
     )
     return quads.reshape(B, max_quads, 4, 2), counts
+
+
+def refine_corners_native(
+    images: np.ndarray, corners: np.ndarray, win: int = 4, iters: int = 6
+) -> np.ndarray:
+    """Native cornerSubPix-style refinement (math mirrors detect/refine.py,
+    which is the reference implementation; this one runs the scattered tiny
+    gathers where they belong — on the host cores, OpenMP over corners).
+
+    Args:
+      images: (B, H, W) float32 grayscale.
+      corners: (B, M, 2) float32 initial positions.
+
+    Returns refined (B, M, 2) float32.
+    """
+    lib = _load()
+    images = np.ascontiguousarray(images, dtype=np.float32)
+    B, H, W = images.shape
+    M = corners.shape[1]
+    flat = np.ascontiguousarray(corners.reshape(-1, 2), dtype=np.float32).copy()
+    idx = np.repeat(np.arange(B, dtype=np.int32), M)
+    lib.refine_corners_native(
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        B, H, W,
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        flat.shape[0], win, iters,
+    )
+    return flat.reshape(B, M, 2)

@@ -16,6 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 TILE = 4
 MIN_CONTRAST = 20.0  # on a 0..255 scale
@@ -43,7 +44,7 @@ def adaptive_threshold(
         forced white (they cannot spawn false quads).
     """
     B, H, W = images.shape
-    x = images.astype(jnp.float32)
+    x = images.astype(jnp.float32)  # accepts uint8 input (4x cheaper h2d)
     t = x.reshape(B, H // tile, tile, W // tile, tile)
     tmin = t.min(axis=(2, 4))
     tmax = t.max(axis=(2, 4))
@@ -69,13 +70,30 @@ def adaptive_threshold(
     return binary.astype(jnp.uint8)
 
 
+@partial(jax.jit, static_argnames=("tile", "min_contrast", "separate"))
+def adaptive_threshold_packed(
+    images, tile: int = TILE, min_contrast: float = MIN_CONTRAST,
+    separate: bool = True,
+):
+    """adaptive_threshold + on-device bit packing: returns (B, H, W//8)
+    uint8 so the device->host transfer is 8x smaller (the tunnel link is
+    the bottleneck, ~45 MB/s measured)."""
+    binary = adaptive_threshold(images, tile, min_contrast, separate)
+    B, H, W = binary.shape
+    bits = binary.reshape(B, H, W // 8, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.uint8)
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+
+
 def pad_to_tile(img, tile: int = TILE):
     """Pad (H, W) or (B, H, W) on the bottom/right to tile multiples with
-    white (255), so padding never creates black components."""
+    white (255), so padding never creates black components.  Width pads to
+    a multiple of lcm(tile, 8) so the packed-bits output stays aligned."""
     H, W = img.shape[-2], img.shape[-1]
+    wmul = tile * 8 // np.gcd(tile, 8)
     ph = (-H) % tile
-    pw = (-W) % tile
+    pw = (-W) % wmul
     if ph == 0 and pw == 0:
         return img, H, W
     pad = [(0, 0)] * (img.ndim - 2) + [(0, ph), (0, pw)]
-    return jnp.pad(img, pad, constant_values=255.0), H, W
+    return jnp.pad(img, pad, constant_values=255), H, W

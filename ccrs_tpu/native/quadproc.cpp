@@ -363,4 +363,87 @@ void quadproc_extract_batch(const uint8_t* bins, int B, int H, int W,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Subpixel corner refinement (cornerSubPix-style saddle/corner solve).
+//
+// The access pattern (tiny windows at scattered positions) is gather-bound
+// and maps poorly to the TPU vector units, so like quad extraction it lives
+// in the native layer; the math matches ccrs_tpu/detect/refine.py (which
+// stays as the reference implementation for tests).
+
+static inline float bilin(const float* img, int H, int W, float x, float y) {
+    if (x < 0) x = 0;
+    if (y < 0) y = 0;
+    if (x > W - 1.001f) x = W - 1.001f;
+    if (y > H - 1.001f) y = H - 1.001f;
+    int x0 = (int)x, y0 = (int)y;
+    float fx = x - x0, fy = y - y0;
+    const float* r0 = img + (size_t)y0 * W + x0;
+    const float* r1 = r0 + W;
+    return r0[0] * (1 - fx) * (1 - fy) + r0[1] * fx * (1 - fy) +
+           r1[0] * (1 - fx) * fy + r1[1] * fx * fy;
+}
+
+extern "C" {
+
+// corners: (n, 2) in-place. imgs: (B, H, W) float32. idx: (n,) image index
+// per corner.
+void refine_corners_native(const float* imgs, int B, int H, int W,
+                           float* corners, const int32_t* img_idx, int n,
+                           int win, int iters) {
+    const float sigma = win / 2.0f;
+    const int wsize = 2 * win + 1;
+    std::vector<float> weights((size_t)wsize * wsize);
+    for (int i = -win; i <= win; ++i)
+        for (int j = -win; j <= win; ++j)
+            weights[(i + win) * wsize + (j + win)] =
+                std::exp(-(float)(i * i + j * j) / (2.0f * sigma * sigma));
+
+#pragma omp parallel for schedule(static)
+    for (int c = 0; c < n; ++c) {
+        const float* img = imgs + (size_t)img_idx[c] * H * W;
+        float cx = corners[2 * c], cy = corners[2 * c + 1];
+        const float ox = cx, oy = cy;
+        for (int it = 0; it < iters; ++it) {
+            double a = 0, b = 0, d = 0, bx = 0, by = 0;
+            for (int i = -win; i <= win; ++i) {
+                for (int j = -win; j <= win; ++j) {
+                    float px = cx + j, py = cy + i;
+                    float gx = 0.5f * (bilin(img, H, W, px + 1, py) -
+                                       bilin(img, H, W, px - 1, py));
+                    float gy = 0.5f * (bilin(img, H, W, px, py + 1) -
+                                       bilin(img, H, W, px, py - 1));
+                    float wgt = weights[(i + win) * wsize + (j + win)];
+                    a += wgt * gx * gx;
+                    b += wgt * gx * gy;
+                    d += wgt * gy * gy;
+                    bx += wgt * (gx * gx * px + gx * gy * py);
+                    by += wgt * (gx * gy * px + gy * gy * py);
+                }
+            }
+            double det = a * d - b * b;
+            if (std::fabs(det) < 1e-9) break;
+            double qx = (d * bx - b * by) / det;
+            double qy = (a * by - b * bx) / det;
+            double dx = qx - cx, dy = qy - cy;
+            if (dx > 1) dx = 1;
+            if (dx < -1) dx = -1;
+            if (dy > 1) dy = 1;
+            if (dy < -1) dy = -1;
+            cx += (float)dx;
+            cy += (float)dy;
+        }
+        // total-shift clamp to the window radius (divergence guard)
+        float tx = cx - ox, ty = cy - oy;
+        float norm = std::sqrt(tx * tx + ty * ty);
+        if (norm > win) {
+            cx = ox + tx * (win / norm);
+            cy = oy + ty * (win / norm);
+        }
+        corners[2 * c] = cx;
+        corners[2 * c + 1] = cy;
+    }
+}
+
 }  // extern "C"
+}  // extern "C" (outer)

@@ -202,41 +202,46 @@ def homography_to_focal(H):
     src/optimization/homography.rs:274-325): each of two orthogonality/
     equal-norm constraint pairs yields candidate f^2 values; pick per-pair
     by the larger denominator, combine available estimates geometrically.
+
+    Host-side numpy (a dozen scalar ops; not worth a device dispatch).
     """
-    h0, h1, h2 = H[0, 0], H[0, 1], H[0, 2]
-    h3, h4, h5 = H[1, 0], H[1, 1], H[1, 2]
+    import numpy as np
+
+    H = np.asarray(H, dtype=np.float64)
+    h0, h1, h2 = H[0]
+    h3, h4, h5 = H[1]
     h6, h7 = H[2, 0], H[2, 1]
+
+    def safe_div(n, d):
+        return n / (d if abs(d) > 1e-20 else 1e-20)
 
     def pair(v1, v2, d1, d2):
         # sort so hi = max, lo = min, then (matching the reference's
         # post-swap selection): both positive -> pick hi when |d1|>|d2|
         # else lo; only hi positive -> hi; else invalid.
-        lo = jnp.minimum(v1, v2)
-        hi = jnp.maximum(v1, v2)
-        both = lo > 0.0
-        val = jnp.where(both, jnp.where(jnp.abs(d1) > jnp.abs(d2), hi, lo), hi)
-        ok = hi > 0.0
-        return val, ok
+        lo, hi = min(v1, v2), max(v1, v2)
+        if lo > 0.0:
+            return (hi if abs(d1) > abs(d2) else lo), True
+        return hi, hi > 0.0
 
     d1a = h6 * h7
     d2a = (h7 - h6) * (h7 + h6)
-    v1a = -(h0 * h1 + h3 * h4) / jnp.where(jnp.abs(d1a) > 1e-20, d1a, 1e-20)
-    v2a = (h0 * h0 + h3 * h3 - h1 * h1 - h4 * h4) / jnp.where(
-        jnp.abs(d2a) > 1e-20, d2a, 1e-20
+    f1_sq, f1_ok = pair(
+        safe_div(-(h0 * h1 + h3 * h4), d1a),
+        safe_div(h0 * h0 + h3 * h3 - h1 * h1 - h4 * h4, d2a),
+        d1a, d2a,
     )
-    f1_sq, f1_ok = pair(v1a, v2a, d1a, d2a)
-
     d1b = h0 * h3 + h1 * h4
     d2b = h0 * h0 + h1 * h1 - h3 * h3 - h4 * h4
-    v1b = -h2 * h5 / jnp.where(jnp.abs(d1b) > 1e-20, d1b, 1e-20)
-    v2b = (h5 * h5 - h2 * h2) / jnp.where(jnp.abs(d2b) > 1e-20, d2b, 1e-20)
-    f0_sq, f0_ok = pair(v1b, v2b, d1b, d2b)
-
-    f1 = jnp.sqrt(jnp.maximum(f1_sq, 0.0))
-    f0 = jnp.sqrt(jnp.maximum(f0_sq, 0.0))
-    f = jnp.where(
-        f0_ok & f1_ok,
-        jnp.sqrt(jnp.maximum(f0 * f1, 0.0)),
-        jnp.where(f0_ok, f0, f1),
+    f0_sq, f0_ok = pair(
+        safe_div(-h2 * h5, d1b), safe_div(h5 * h5 - h2 * h2, d2b), d1b, d2b
     )
-    return f, f0_ok | f1_ok
+    f1 = float(np.sqrt(max(f1_sq, 0.0)))
+    f0 = float(np.sqrt(max(f0_sq, 0.0)))
+    if f0_ok and f1_ok:
+        f = float(np.sqrt(max(f0 * f1, 0.0)))
+    elif f0_ok:
+        f = f0
+    else:
+        f = f1
+    return f, (f0_ok or f1_ok)

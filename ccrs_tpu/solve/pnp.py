@@ -154,4 +154,4 @@ def solve_pnp_planar(p3d, p2d_norm, w=None):
     return _gn_polish(rvec, t, p3d, p2d_norm, w)
 
 
-solve_pnp_planar_batch = jax.vmap(solve_pnp_planar, in_axes=(0, 0, 0))
+solve_pnp_planar_batch = jax.jit(jax.vmap(solve_pnp_planar, in_axes=(0, 0, 0)))
