@@ -249,7 +249,8 @@ def write_euroc_dataset(
     board = board or Board(BoardConfig())
     family = family or get_family("t36h11")
     poses = default_sequence_poses(n_frames, board, seed=seed)
-    cams = cam_num if extrinsics is not None else 1
+    if cam_num > 1 and extrinsics is None:
+        extrinsics = default_rig_extrinsics(cam_num)
     for ci in range(cam_num):
         d = os.path.join(out_dir, "mav0", f"cam{ci}", "data")
         os.makedirs(d, exist_ok=True)
@@ -270,6 +271,17 @@ def write_euroc_dataset(
             t_ns = 10_000_000_000 + f * 100_000_000
             iio.imwrite(os.path.join(d, f"{t_ns}.png"), img)
     return poses, model
+
+
+def default_rig_extrinsics(cam_num: int):
+    """T_cam_i<-cam0 for a simple horizontal rig (11 cm baseline steps,
+    slight convergence), row 0 identity; rows are (rvec|tvec)."""
+    out = [np.zeros(6)]
+    for i in range(1, cam_num):
+        out.append(
+            np.array([0.0, -0.02 * i, 0.005 * i, -0.11 * i, 0.002 * i, 0.004 * i])
+        )
+    return np.stack(out)
 
 
 def _main():
