@@ -202,16 +202,26 @@ def main(argv=None):
         None if args.no_rerun else f"{output_folder}/logging.rrd"
     )
 
-    batches = load_feature_data(args, detector, board, recorder)
-    key = jax.random.PRNGKey(args.seed)
-    key, sub = jax.random.split(key)
-    intrinsics, cam_rtvecs = calibrate_all_cameras(args, board, batches, recorder, sub)
-    t_cam_i_0 = init_camera_extrinsic(cam_rtvecs)
-    for t in t_cam_i_0:
-        print(f"r {t.rvec} t {t.tvec}")
-    save_and_validate_results(
-        args, output_folder, board, batches, intrinsics, cam_rtvecs, t_cam_i_0, recorder
-    )
+    import contextlib
+
+    from .utils.profiling import with_profiler
+
+    profile_dir = os.environ.get("CCRS_PROFILE_DIR")
+    ctx = with_profiler(profile_dir) if profile_dir else contextlib.nullcontext()
+    with ctx:
+        batches = load_feature_data(args, detector, board, recorder)
+        key = jax.random.PRNGKey(args.seed)
+        key, sub = jax.random.split(key)
+        intrinsics, cam_rtvecs = calibrate_all_cameras(
+            args, board, batches, recorder, sub
+        )
+        t_cam_i_0 = init_camera_extrinsic(cam_rtvecs)
+        for t in t_cam_i_0:
+            print(f"r {t.rvec} t {t.tvec}")
+        save_and_validate_results(
+            args, output_folder, board, batches, intrinsics, cam_rtvecs,
+            t_cam_i_0, recorder,
+        )
     print(f"results written to {output_folder}")
 
 

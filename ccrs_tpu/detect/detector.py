@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.profiling import stage
 from .decode import decode_quads
 from .families import TagFamily, get_family
 from .quads import MAX_QUADS, extract_quads_batch, refine_corners_native
@@ -88,11 +89,13 @@ class TagDetector:
             imgs = np.stack([_to_gray_f32(im) for im in raw])
             dev_imgs = jnp.asarray(imgs)
         B, H, W = imgs.shape
-        padded, _, _ = pad_to_tile(dev_imgs)
-        pw = padded.shape[-1]
-        packed = np.asarray(adaptive_threshold_packed(padded))
-        binary = np.unpackbits(packed, axis=-1, count=pw)[:, :H, :W]
-        quads, counts = extract_quads_batch(binary, max_quads=self.max_quads)
+        with stage("detect/threshold"):
+            padded, _, _ = pad_to_tile(dev_imgs)
+            pw = padded.shape[-1]
+            packed = np.asarray(adaptive_threshold_packed(padded))
+            binary = np.unpackbits(packed, axis=-1, count=pw)[:, :H, :W]
+        with stage("detect/quadproc"):
+            quads, counts = extract_quads_batch(binary, max_quads=self.max_quads)
         if counts.max(initial=0) == 0:
             return [dict() for _ in range(B)]
 
@@ -101,19 +104,21 @@ class TagDetector:
             # subpixel-refine ALL candidate corners BEFORE decoding: the
             # sharper homographies make bit sampling markedly more reliable
             # on small/strongly-distorted tags.
-            if self.native_refine:
-                quads = refine_corners_native(
-                    imgs, quads.reshape(B, -1, 2)
-                ).reshape(quads.shape)
-                quads_j = jnp.asarray(quads)
-            else:
-                quads_j = refine_corners(
-                    dev_f32, jnp.asarray(quads).reshape(B, -1, 2)
-                ).reshape(quads.shape)
+            with stage("detect/refine"):
+                if self.native_refine:
+                    quads = refine_corners_native(
+                        imgs, quads.reshape(B, -1, 2)
+                    ).reshape(quads.shape)
+                    quads_j = jnp.asarray(quads)
+                else:
+                    quads_j = refine_corners(
+                        dev_f32, jnp.asarray(quads).reshape(B, -1, 2)
+                    ).reshape(quads.shape)
         else:
             quads_j = jnp.asarray(quads)
 
-        out = decode_quads(self.family, dev_f32, quads_j, jnp.asarray(counts))
+        with stage("detect/decode"):
+            out = decode_quads(self.family, dev_f32, quads_j, jnp.asarray(counts))
         tag_id = np.asarray(out["tag_id"])
         hamming = np.asarray(out["hamming"])
         valid = np.asarray(out["valid"])

@@ -1,0 +1,60 @@
+"""Tracing / profiling helpers.
+
+The reference's observability is env_logger + manual Instant timing
+(SURVEY.md §5); here: scoped wall-clock timers that aggregate per stage,
+plus a helper to capture a JAX device profile around any callable.
+
+Enable stage timing with CCRS_TIMING=1 (report printed at exit) and
+device traces with ``with_profiler(fn, logdir)`` or the CLI's
+``CCRS_PROFILE_DIR`` environment variable.
+"""
+
+from __future__ import annotations
+
+import atexit
+import collections
+import contextlib
+import os
+import time
+
+_ENABLED = os.environ.get("CCRS_TIMING", "") not in ("", "0")
+_totals: dict = collections.defaultdict(float)
+_counts: dict = collections.defaultdict(int)
+
+
+@contextlib.contextmanager
+def stage(name: str):
+    """Accumulating wall-clock timer; no-op unless CCRS_TIMING=1."""
+    if not _ENABLED:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        dt = time.perf_counter() - t0
+        _totals[name] += dt
+        _counts[name] += 1
+
+
+def report() -> str:
+    lines = ["ccrs timing report:"]
+    for name, total in sorted(_totals.items(), key=lambda kv: -kv[1]):
+        lines.append(f"  {name:30s} {total:8.3f}s  x{_counts[name]}")
+    return "\n".join(lines)
+
+
+if _ENABLED:  # pragma: no cover
+    atexit.register(lambda: print(report()))
+
+
+@contextlib.contextmanager
+def with_profiler(logdir: str):
+    """Capture a JAX/XLA device trace (view with TensorBoard/XProf)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
