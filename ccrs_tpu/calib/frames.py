@@ -58,6 +58,21 @@ class FrameBatch:
             self.height,
         )
 
+    def save(self, path: str) -> None:
+        """Persist detections (the optional re-detect cache, SURVEY.md §5
+        checkpoint/resume)."""
+        np.savez_compressed(
+            path, time_ns=self.time_ns, p2d=self.p2d, mask=self.mask,
+            width=self.width, height=self.height,
+        )
+
+    @staticmethod
+    def load(path: str) -> "FrameBatch":
+        z = np.load(path)
+        return FrameBatch(
+            z["time_ns"], z["p2d"], z["mask"], int(z["width"]), int(z["height"])
+        )
+
     @staticmethod
     def from_detections(
         detections: list, times_ns: list, board: Board, width: int, height: int,

@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0, help="PRNG seed (RANSAC/retries)")
     p.add_argument("--no-rerun", action="store_true", help="skip .rrd logging")
     p.add_argument(
+        "--detection-cache",
+        default=None,
+        metavar="DIR",
+        help="cache detections under DIR (keyed by file list/mtimes) so "
+        "re-runs skip re-detection",
+    )
+    p.add_argument(
         "--platform",
         default="auto",
         choices=["auto", "cpu", "tpu"],
@@ -84,7 +91,8 @@ def load_feature_data(args, detector, board, recorder) -> List[FrameBatch]:
     t0 = time.perf_counter()
     loader = load_euroc if args.dataset_format == "euroc" else load_general
     batches = loader(
-        args.path, detector, board, args.start_idx, args.step, args.cam_num, recorder
+        args.path, detector, board, args.start_idx, args.step, args.cam_num,
+        recorder, cache_dir=args.detection_cache,
     )
     dt = time.perf_counter() - t0
     print(f"detecting feature took {dt:.6f} sec")

@@ -83,6 +83,14 @@ def _detect_sequence(
 
     detections = []
     width = height = None
+    try:
+        from tqdm import tqdm
+
+        progress = tqdm(
+            total=len(paths), desc=f"cam{cam_idx} detect", unit="img", leave=False
+        )
+    except ImportError:  # pragma: no cover
+        progress = None
     with cf.ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as pool:
         futures = [pool.submit(_imread, p) for p in paths]
         chunk_imgs, chunk_meta = [], []
@@ -96,6 +104,8 @@ def _detect_sequence(
             if recorder is not None:
                 for (t_ns, img), det in zip(chunk_meta, dets):
                     recorder.log_camera_image(cam_idx, t_ns, img, det)
+            if progress is not None:
+                progress.update(len(chunk_imgs))
             chunk_imgs, chunk_meta = [], []
 
         for t_ns, fut in zip(times_ns, futures):
@@ -107,10 +117,39 @@ def _detect_sequence(
             if len(chunk_imgs) >= DETECT_BATCH:
                 flush()
         flush()
+    if progress is not None:
+        progress.close()
 
     return FrameBatch.from_detections(
         detections, times_ns, board, width, height, MIN_CORNERS
     )
+
+
+def _cache_path(cache_dir, cam_idx, paths, detector, board):
+    """Detection-cache key: file list+mtimes+detector family+board shape."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for p in paths:
+        try:
+            h.update(f"{p}:{os.path.getmtime(p)};".encode())
+        except OSError:
+            h.update(f"{p}:?;".encode())
+    h.update(f"{detector.family.name}:{board.n_corners}:{board.first_corner_id}".encode())
+    return os.path.join(cache_dir, f"cam{cam_idx}_{h.hexdigest()[:16]}.npz")
+
+
+def _detect_or_load(paths, times, detector, board, recorder, cam_idx, cache_dir):
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cpath = _cache_path(cache_dir, cam_idx, paths, detector, board)
+        if os.path.exists(cpath):
+            log.info("cam%d: loading cached detections from %s", cam_idx, cpath)
+            return FrameBatch.load(cpath)
+    batch = _detect_sequence(paths, times, detector, board, recorder, cam_idx)
+    if cache_dir:
+        batch.save(cpath)
+    return batch
 
 
 def load_euroc(
@@ -121,6 +160,7 @@ def load_euroc(
     step: int = 1,
     cam_num: int = 1,
     recorder=None,
+    cache_dir: str = None,
 ) -> List[FrameBatch]:
     """EuRoC layout: {root}/mav0/cam{i}/data/* (``src/data_loader.rs:95``)."""
     out = []
@@ -130,7 +170,7 @@ def load_euroc(
             os.path.join(root, "mav0", f"cam{cam_idx}", "data", "*"), start_idx, step
         )
         times = [_path_timestamp(p) for p in paths]
-        batch = _detect_sequence(paths, times, detector, board, recorder, cam_idx)
+        batch = _detect_or_load(paths, times, detector, board, recorder, cam_idx, cache_dir)
         log.info(
             "cam%d: %d images, %d usable frames, %.3fs",
             cam_idx, len(paths), int(batch.frame_ok().sum()), time.perf_counter() - t0,
@@ -147,6 +187,7 @@ def load_general(
     step: int = 1,
     cam_num: int = 1,
     recorder=None,
+    cache_dir: str = None,
 ) -> List[FrameBatch]:
     """General layout: {root}/**/cam{i}/**/* with synthetic timestamps
     idx * 1e8 ns (``src/data_loader.rs:160-214``)."""
@@ -156,5 +197,7 @@ def load_general(
             os.path.join(root, "**", f"cam{cam_idx}", "**", "*"), start_idx, step
         )
         times = [i * 100_000_000 for i in range(len(paths))]
-        out.append(_detect_sequence(paths, times, detector, board, recorder, cam_idx))
+        out.append(
+            _detect_or_load(paths, times, detector, board, recorder, cam_idx, cache_dir)
+        )
     return out
