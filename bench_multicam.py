@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Secondary benchmark: the synthetic 8-camera rig, 1000 frames/cam
+(BASELINE.json configs[4]) — one joint bundle adjustment over 8 cameras'
+intrinsics, 7 extrinsics, and 1000 shared board poses, fully batched on
+device (~2.3M reprojection residuals, Schur-eliminated to a 96-dim system).
+
+Prints one JSON line with the joint-BA wall-clock and the recovered-rig
+accuracy.  (bench.py remains the driver's headline metric.)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run(C=8, F=1000, vis_frac=0.75):
+    import jax
+    import jax.numpy as jnp
+
+    from ccrs_tpu.board import create_default_6x6_board
+    from ccrs_tpu.models.projections import project_eucm
+    from ccrs_tpu.solve import se3
+    from ccrs_tpu.solve.lm import ba_solve_multi
+    from ccrs_tpu.testdata import default_rig_extrinsics
+
+    rng = np.random.default_rng(0)
+    board = create_default_6x6_board()
+    p3d = board.p3d.astype(np.float64)
+    N = p3d.shape[0]
+    gt_params = np.stack(
+        [
+            np.array([190.9, 190.87, 254.94, 256.86, 0.628, 1.046])
+            * (1 + 0.01 * rng.standard_normal(6) * [1, 1, 0.2, 0.2, 0.5, 0.5])
+            for _ in range(C)
+        ]
+    )
+    rig = default_rig_extrinsics(C)
+
+    # board poses (cam0 frame) + observations per camera
+    print("generating observations...", file=sys.stderr)
+    poses = []
+    p2d = np.zeros((C, F, N, 2))
+    w = np.zeros((C, F, N))
+    cam_frame_valid = np.zeros((C, F))
+    for f in range(F):
+        rv = np.asarray(
+            se3.compose(
+                jnp.asarray(rng.normal(size=3) * 0.25), jnp.zeros(3),
+                jnp.asarray([0.0, 0.0, np.pi]), jnp.zeros(3),
+            )[0]
+        )
+        tv = np.array([0, 0, rng.uniform(0.5, 1.1)]) - np.asarray(
+            se3.exp_so3(jnp.asarray(rv))
+        ) @ p3d.mean(0)
+        poses.append(np.concatenate([rv, tv]))
+    poses = np.stack(poses)
+
+    for c in range(C):
+        rc, tc = jnp.asarray(rig[c][:3]), jnp.asarray(rig[c][3:])
+        sel = rng.uniform(size=F) < vis_frac if c > 0 else np.ones(F, bool)
+        rv_all, tv_all = se3.compose(
+            jnp.broadcast_to(rc, (F, 3)), jnp.broadcast_to(tc, (F, 3)),
+            jnp.asarray(poses[:, :3]), jnp.asarray(poses[:, 3:]),
+        )
+        pc = jnp.einsum("fij,nj->fni", se3.exp_so3(rv_all), jnp.asarray(p3d)) + tv_all[:, None, :]
+        pr, valid = project_eucm(jnp.asarray(gt_params[c]), pc)
+        pr = np.asarray(pr) + rng.normal(size=(F, N, 2)) * 0.1
+        inside = (
+            np.asarray(valid)
+            & (pr[..., 0] >= 0) & (pr[..., 0] < 512)
+            & (pr[..., 1] >= 0) & (pr[..., 1] < 512)
+        )
+        p2d[c] = np.where(inside[..., None], pr, 0.0)
+        w[c] = inside & sel[:, None]
+        cam_frame_valid[c] = sel & (w[c].sum(1) >= 24)
+
+    frame_valid = (cam_frame_valid.sum(0) > 0).astype(float)
+
+    # perturbed inits (what per-camera calibration would hand over)
+    theta0 = jnp.asarray(gt_params * (1 + 0.01 * rng.standard_normal(gt_params.shape)))
+    ext0 = jnp.asarray(
+        np.concatenate([np.zeros((1, 6)), rig[1:] + rng.normal(size=(C - 1, 6)) * 5e-3])
+    )
+    poses0 = jnp.asarray(poses + rng.normal(size=poses.shape) * 5e-3)
+    lo = jnp.asarray(np.tile([0, 0, 0, 0, 1e-6, 1e-6], (C, 1)))
+    hi = jnp.asarray(np.tile([1e4, 1e4, 512, 512, 1, 10], (C, 1)))
+
+    def solve():
+        return ba_solve_multi(
+            project_eucm, theta0, ext0, poses0, jnp.asarray(p3d),
+            jnp.asarray(p2d), jnp.asarray(w), lo, hi, jnp.ones((C, 6)),
+            jnp.asarray(cam_frame_valid), jnp.asarray(frame_valid),
+        )
+
+    print("warmup/compile...", file=sys.stderr)
+    res = solve()
+    jax.block_until_ready(res.theta)
+    t0 = time.perf_counter()
+    res = solve()
+    jax.block_until_ready(res.theta)
+    dt = time.perf_counter() - t0
+
+    theta = np.asarray(res.theta)
+    ext = np.asarray(res.ext)
+    focal_err = np.abs(theta[:, :2] - gt_params[:, :2]).max() / 190.0
+    ext_err = np.abs(ext[1:] - rig[1:]).max()
+    n_res = int(np.asarray(w).sum()) * 2
+    assert focal_err < 2e-3, focal_err
+    assert ext_err < 1e-3, ext_err
+    return {
+        "metric": f"joint {C}-camera BA wall-clock ({F} frames/cam, {n_res} residuals)",
+        "value": round(dt, 2),
+        "unit": "seconds",
+        "iters": int(res.n_iters),
+        "max_focal_rel_err": float(focal_err),
+        "max_extrinsic_err": float(ext_err),
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

@@ -15,7 +15,7 @@ Covers the reference flow try_init_camera -> init_ucm
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,7 @@ from ..board import Board
 from ..models import GenericModel
 from ..models.projections import project_ucm
 from ..solve.homography import homography_to_focal, radial_distortion_homography
-from ..solve.lm import ba_solve, reduce_params
+from ..solve.lm import ba_solve
 from ..solve.pnp import solve_pnp_planar_batch
 from .frames import FrameBatch
 

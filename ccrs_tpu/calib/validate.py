@@ -10,7 +10,7 @@ via the JAX model on the CPU backend when available).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ import glob
 import logging
 import os
 import time
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

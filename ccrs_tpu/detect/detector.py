@@ -14,7 +14,7 @@ three-stage pipeline
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
 import numpy as np
