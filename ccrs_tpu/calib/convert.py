@@ -22,6 +22,15 @@ from .single import build_bounds, disabled_free_mask
 INVALID_PENALTY = 10000.0  # factors.rs:71
 
 
+import jax
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("unproj",))
+def _unproject_grid(unproj, params, grid):
+    return unproj(params, grid)
+
+
 def conversion_grid(source: GenericModel, edge_ratio: int = 100, step_ratio: int = 30):
     """The reference's conversion grid (factors.rs:33-43 + util.rs:246-247):
     pixels on a [edge, size-edge) lattice with step max(w,h)/30, unprojected
@@ -32,8 +41,8 @@ def conversion_grid(source: GenericModel, edge_ratio: int = 100, step_ratio: int
     rr = np.arange(edge, int(source.height) - edge, step)
     cc = np.arange(edge, int(source.width) - edge, step)
     grid = np.stack(np.meshgrid(cc, rr), -1).reshape(-1, 2).astype(np.float64)
-    rays, valid = unproject_fn(source.name)(
-        jnp.asarray(source.params), jnp.asarray(grid)
+    rays, valid = _unproject_grid(
+        unproject_fn(source.name), jnp.asarray(source.params), jnp.asarray(grid)
     )
     rays = np.asarray(rays)[np.asarray(valid)]
     return rays

@@ -106,3 +106,71 @@ def test_joint_ba_recovers_stereo_rig():
     assert len(board_poses) == F
     for f in range(F):
         np.testing.assert_allclose(board_poses[f].rvec, poses_gt[f, :3], atol=1e-6)
+
+
+def test_joint_ba_stereo_ftheta():
+    """BASELINE configs[3]: stereo joint intrinsic+extrinsic, FTHETA."""
+    from ccrs_tpu.models.projections import project_ftheta
+
+    board = create_default_6x6_board()
+    cam = GenericModel(
+        "ftheta",
+        [190.4, 190.1, 255.5, 255.9, 0.015, -0.006, 0.002, -0.0004, 0.0001],
+        512, 512,
+    )
+    batch0, poses_gt = make_synthetic_batch(cam, board, n_frames=10, seed=9)
+    F = poses_gt.shape[0]
+    r10 = np.array([0.01, -0.02, 0.004])
+    t10 = np.array([-0.1, 0.003, 0.002])
+    p2d1 = np.zeros_like(batch0.p2d)
+    mask1 = np.zeros_like(batch0.mask)
+    for f in range(F):
+        rv, tv = se3.compose(
+            jnp.asarray(r10), jnp.asarray(t10),
+            jnp.asarray(poses_gt[f, :3]), jnp.asarray(poses_gt[f, 3:]),
+        )
+        pc = board.p3d @ np.asarray(se3.exp_so3(rv)).T + np.asarray(tv)
+        p2d, valid = project_ftheta(jnp.asarray(cam.params), jnp.asarray(pc))
+        p2d = np.asarray(p2d)
+        inside = (
+            np.asarray(valid)
+            & (p2d[:, 0] >= 0) & (p2d[:, 0] < 512)
+            & (p2d[:, 1] >= 0) & (p2d[:, 1] < 512)
+        )
+        p2d1[f] = np.where(inside[:, None], p2d, 0.0)
+        mask1[f] = inside
+    batch1 = FrameBatch(batch0.time_ns.copy(), p2d1, mask1, 512, 512)
+
+    rng = np.random.default_rng(10)
+    rt0 = {
+        f: RvecTvec(
+            poses_gt[f, :3] + rng.normal(size=3) * 1e-3,
+            poses_gt[f, 3:] + rng.normal(size=3) * 1e-3,
+        )
+        for f in range(F)
+    }
+    rt1 = {}
+    for f in range(F):
+        rv, tv = se3.compose(
+            jnp.asarray(r10), jnp.asarray(t10),
+            jnp.asarray(poses_gt[f, :3]), jnp.asarray(poses_gt[f, 3:]),
+        )
+        rt1[f] = RvecTvec(
+            np.asarray(rv) + rng.normal(size=3) * 1e-3,
+            np.asarray(tv) + rng.normal(size=3) * 1e-3,
+        )
+    cam_in0 = cam.copy()
+    cam_in0.set_params(cam.params * (1 + rng.normal(size=9) * 2e-3))
+    cam_in1 = cam.copy()
+    cam_in1.set_params(cam.params * (1 + rng.normal(size=9) * 2e-3))
+    t_init = init_camera_extrinsic([rt0, rt1])
+    out = calib_all_camera_with_extrinsics(
+        board, [cam_in0, cam_in1], t_init, [rt0, rt1], [batch0, batch1],
+        xy_same_focal=False, disabled_distortions=0, cam0_fixed_focal=False,
+    )
+    assert out is not None
+    intrinsics, t_i_0, _ = out
+    np.testing.assert_allclose(intrinsics[0].params[:4], cam.params[:4], rtol=1e-5)
+    np.testing.assert_allclose(intrinsics[1].params[:4], cam.params[:4], rtol=1e-5)
+    np.testing.assert_allclose(t_i_0[1].rvec, r10, atol=1e-6)
+    np.testing.assert_allclose(t_i_0[1].tvec, t10, atol=1e-6)
