@@ -60,7 +60,7 @@ def run():
     times = list(range(N_FRAMES))
 
     def pipeline(key):
-        dets = detector.detect_batch(imgs)
+        dets = detector.detect_batch(imgs, board=board)
         batch = FrameBatch.from_detections(dets, times, board, 512, 512)
         result = init_and_calibrate_one_camera(
             board, batch, zeros_like_model("eucm"), CalibParams(), key

@@ -38,43 +38,57 @@ def run(C=8, F=1000, vis_frac=0.75):
     )
     rig = default_rig_extrinsics(C)
 
-    # board poses (cam0 frame) + observations per camera
+    # board poses (cam0 frame) + observations per camera — generated in a
+    # single jitted graph (eager op-by-op execution costs a remote compile
+    # per primitive on this backend)
     print("generating observations...", file=sys.stderr)
-    poses = []
-    p2d = np.zeros((C, F, N, 2))
-    w = np.zeros((C, F, N))
-    cam_frame_valid = np.zeros((C, F))
-    for f in range(F):
-        rv = np.asarray(
-            se3.compose(
-                jnp.asarray(rng.normal(size=3) * 0.25), jnp.zeros(3),
-                jnp.asarray([0.0, 0.0, np.pi]), jnp.zeros(3),
-            )[0]
-        )
-        tv = np.array([0, 0, rng.uniform(0.5, 1.1)]) - np.asarray(
-            se3.exp_so3(jnp.asarray(rv))
-        ) @ p3d.mean(0)
-        poses.append(np.concatenate([rv, tv]))
-    poses = np.stack(poses)
 
-    for c in range(C):
-        rc, tc = jnp.asarray(rig[c][:3]), jnp.asarray(rig[c][3:])
-        sel = rng.uniform(size=F) < vis_frac if c > 0 else np.ones(F, bool)
-        rv_all, tv_all = se3.compose(
-            jnp.broadcast_to(rc, (F, 3)), jnp.broadcast_to(tc, (F, 3)),
-            jnp.asarray(poses[:, :3]), jnp.asarray(poses[:, 3:]),
+    @jax.jit
+    def generate(perts, dists, rig_j, params_j):
+        base = jnp.asarray([0.0, 0.0, np.pi])
+        rv, _ = se3.compose(
+            perts, jnp.zeros_like(perts),
+            jnp.broadcast_to(base, perts.shape), jnp.zeros_like(perts),
         )
-        pc = jnp.einsum("fij,nj->fni", se3.exp_so3(rv_all), jnp.asarray(p3d)) + tv_all[:, None, :]
-        pr, valid = project_eucm(jnp.asarray(gt_params[c]), pc)
-        pr = np.asarray(pr) + rng.normal(size=(F, N, 2)) * 0.1
-        inside = (
-            np.asarray(valid)
-            & (pr[..., 0] >= 0) & (pr[..., 0] < 512)
-            & (pr[..., 1] >= 0) & (pr[..., 1] < 512)
+        R = se3.exp_so3(rv)
+        center = jnp.asarray(p3d).mean(0)
+        tv = (
+            jnp.stack([jnp.zeros(F), jnp.zeros(F), dists], axis=1)
+            - jnp.einsum("fij,j->fi", R, center)
         )
-        p2d[c] = np.where(inside[..., None], pr, 0.0)
-        w[c] = inside & sel[:, None]
-        cam_frame_valid[c] = sel & (w[c].sum(1) >= 24)
+        poses = jnp.concatenate([rv, tv], axis=1)
+
+        def per_cam(c_rig, c_params):
+            rv_all, tv_all = se3.compose(
+                jnp.broadcast_to(c_rig[:3], (F, 3)),
+                jnp.broadcast_to(c_rig[3:], (F, 3)),
+                poses[:, :3], poses[:, 3:],
+            )
+            pc = jnp.einsum("fij,nj->fni", se3.exp_so3(rv_all), jnp.asarray(p3d)) + tv_all[:, None, :]
+            pr, valid = project_eucm(c_params, pc)
+            inside = (
+                valid
+                & (pr[..., 0] >= 0) & (pr[..., 0] < 512)
+                & (pr[..., 1] >= 0) & (pr[..., 1] < 512)
+            )
+            return pr, inside
+
+        pr, inside = jax.vmap(per_cam)(rig_j, params_j)
+        return poses, pr, inside
+
+    perts = rng.normal(size=(F, 3)) * 0.25
+    dists = rng.uniform(0.5, 1.1, F)
+    poses_j, pr, inside = generate(
+        jnp.asarray(perts), jnp.asarray(dists), jnp.asarray(rig), jnp.asarray(gt_params)
+    )
+    poses = np.asarray(poses_j)
+    pr = np.asarray(pr) + rng.normal(size=(C, F, N, 2)) * 0.1
+    inside = np.asarray(inside)
+    p2d = np.where(inside[..., None], pr, 0.0)
+    sel = np.ones((C, F), bool)
+    sel[1:] = rng.uniform(size=(C - 1, F)) < vis_frac
+    w = inside * sel[:, :, None]
+    cam_frame_valid = (sel & (w.sum(2) >= 24)).astype(float)
 
     frame_valid = (cam_frame_valid.sum(0) > 0).astype(float)
 

@@ -99,7 +99,7 @@ def _detect_sequence(
             nonlocal chunk_imgs, chunk_meta
             if not chunk_imgs:
                 return
-            dets = detector.detect_batch(np.stack(chunk_imgs))
+            dets = detector.detect_batch(np.stack(chunk_imgs), board=board)
             detections.extend(dets)
             if recorder is not None:
                 for (t_ns, img), det in zip(chunk_meta, dets):

@@ -67,11 +67,13 @@ class TagDetector:
         self.max_quads = max_quads
 
     # ------------------------------------------------------------- batched
-    def detect_batch(self, images) -> List[Dict[int, np.ndarray]]:
+    def detect_batch(self, images, board=None) -> List[Dict[int, np.ndarray]]:
         """Detect tags in a batch of images.
 
         Args:
           images: (B, H, W) or (B, H, W, C) uint8/float array-like.
+          board: optional Board — enables the board-assisted recovery pass
+            (predict missed tags from the geometry of decoded neighbors).
 
         Returns:
           list of {tag_id: (4, 2) float32 corners} per image, corner order
@@ -134,6 +136,12 @@ class TagDetector:
             results.append(
                 {tid: corners[b, k].copy() for tid, (k, _) in best.items()}
             )
+
+        if board is not None:
+            from .assist import recover_missing_tags
+
+            with stage("detect/assist"):
+                recover_missing_tags(self.family, board, imgs, dev_f32, results)
         return results
 
     # -------------------------------------------------------------- single

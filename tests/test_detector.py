@@ -118,3 +118,22 @@ def test_rotated_image_decodes(synth_view):
             [H - 1 - tags_rot[tid][:, 1], tags_rot[tid][:, 0]], axis=1
         )
         np.testing.assert_allclose(back, base[tid], atol=1.0)
+
+
+def test_board_assist_recovers_tags(synth_view):
+    from ccrs_tpu.board import create_default_6x6_board
+
+    img, p2d, vis = synth_view
+    board = create_default_6x6_board()
+    det = TagDetector("t36h11")
+    plain = det.detect(img)
+    assisted = det.detect_batch(np.asarray(img)[None], board=board)[0]
+    assert len(assisted) >= len(plain)
+    # recovered corners must still be accurate
+    errs = [
+        np.linalg.norm(cs[c] - p2d[tid * 4 + c])
+        for tid, cs in assisted.items()
+        for c in range(4)
+        if vis[tid * 4 + c]
+    ]
+    assert np.mean(errs) < 0.25 and np.max(errs) < 2.0
