@@ -67,13 +67,18 @@ class TagDetector:
         self.max_quads = max_quads
 
     # ------------------------------------------------------------- batched
-    def detect_batch(self, images, board=None) -> List[Dict[int, np.ndarray]]:
+    def detect_batch(
+        self, images, board=None, dev_images=None
+    ) -> List[Dict[int, np.ndarray]]:
         """Detect tags in a batch of images.
 
         Args:
           images: (B, H, W) or (B, H, W, C) uint8/float array-like.
           board: optional Board — enables the board-assisted recovery pass
             (predict missed tags from the geometry of decoded neighbors).
+          dev_images: optional (B, H, W) jax array already on device
+            (uint8/f32); skips the host->device upload when the producer
+            (e.g. the on-device renderer) kept the batch resident.
 
         Returns:
           list of {tag_id: (4, 2) float32 corners} per image, corner order
@@ -86,10 +91,10 @@ class TagDetector:
             # conversion for the native-refine input, raw uint8 upload
             # (4x cheaper over the link); threshold/decode cast on device
             imgs = raw.astype(np.float32)
-            dev_imgs = jnp.asarray(raw)
+            dev_imgs = jnp.asarray(raw) if dev_images is None else dev_images
         else:
             imgs = np.stack([_to_gray_f32(im) for im in raw])
-            dev_imgs = jnp.asarray(imgs)
+            dev_imgs = jnp.asarray(imgs) if dev_images is None else dev_images
         B, H, W = imgs.shape
         with stage("detect/threshold"):
             padded, _, _ = pad_to_tile(dev_imgs)
