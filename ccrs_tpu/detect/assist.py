@@ -129,7 +129,9 @@ def recover_missing_tags(
     per_frame: Dict[int, list] = {}
     for i, (b, t, q) in enumerate(cand):
         per_frame.setdefault(b, []).append(i)
-    K = max(len(v) for v in per_frame.values())
+    # fixed K: a data-dependent K would give decode_quads a fresh shape
+    # (and a fresh compile) on every call
+    K = n_tags
     quads = np.zeros((B, K, 4, 2), np.float32)
     counts = np.zeros(B, np.int32)
     slot_of = {}
