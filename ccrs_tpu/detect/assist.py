@@ -141,9 +141,9 @@ def recover_missing_tags(
             slot_of[i] = (b, s)
         counts[b] = len(idxs)
 
-    refined = refine_corners_native(imgs_f32, quads.reshape(B, -1, 2)).reshape(
-        quads.shape
-    )
+    refined = refine_corners_native(
+        imgs_f32, quads.reshape(B, -1, 2), counts=counts, group=4
+    ).reshape(quads.shape)
     out = decode_quads(family, dev_imgs_f32, jnp.asarray(refined), jnp.asarray(counts))
     tag_id = np.asarray(out["tag_id"])
     hamming = np.asarray(out["hamming"])

@@ -65,6 +65,7 @@ class TagDetector:
         self.refine = refine
         self.native_refine = native_refine
         self.max_quads = max_quads
+        self.chunk = 64  # pipeline chunk (see detect_batch)
 
     # ------------------------------------------------------------- batched
     def detect_batch(
@@ -91,62 +92,92 @@ class TagDetector:
             # conversion for the native-refine input, raw uint8 upload
             # (4x cheaper over the link); threshold/decode cast on device
             imgs = raw.astype(np.float32)
-            dev_imgs = jnp.asarray(raw) if dev_images is None else dev_images
+            dev_all = jnp.asarray(raw) if dev_images is None else dev_images
         else:
             imgs = np.stack([_to_gray_f32(im) for im in raw])
-            dev_imgs = jnp.asarray(imgs) if dev_images is None else dev_images
+            dev_all = jnp.asarray(imgs) if dev_images is None else dev_images
         B, H, W = imgs.shape
-        with stage("detect/threshold"):
-            padded, _, _ = pad_to_tile(dev_imgs)
-            pw = padded.shape[-1]
-            packed = np.asarray(adaptive_threshold_packed(padded))
-            binary = np.unpackbits(packed, axis=-1, count=pw)[:, :H, :W]
-        with stage("detect/quadproc"):
-            quads, counts = extract_quads_batch(binary, max_quads=self.max_quads)
-        if counts.max(initial=0) == 0:
-            return [dict() for _ in range(B)]
 
-        dev_f32 = dev_imgs.astype(jnp.float32)
-        if self.refine:
-            # subpixel-refine ALL candidate corners BEFORE decoding: the
-            # sharper homographies make bit sampling markedly more reliable
-            # on small/strongly-distorted tags.
-            with stage("detect/refine"):
-                if self.native_refine:
-                    quads = refine_corners_native(
-                        imgs, quads.reshape(B, -1, 2)
-                    ).reshape(quads.shape)
-                    quads_j = jnp.asarray(quads)
-                else:
-                    quads_j = refine_corners(
-                        dev_f32, jnp.asarray(quads).reshape(B, -1, 2)
-                    ).reshape(quads.shape)
-        else:
-            quads_j = jnp.asarray(quads)
-
-        with stage("detect/decode"):
-            out = decode_quads(self.family, dev_f32, quads_j, jnp.asarray(counts))
-        tag_id = np.asarray(out["tag_id"])
-        hamming = np.asarray(out["hamming"])
-        valid = np.asarray(out["valid"])
-        corners = np.asarray(out["corners"])  # (B,K,4,2)
+        # Software pipeline over fixed-size chunks: every chunk's upload +
+        # threshold is enqueued on the device up front (dispatch is async),
+        # so the single-core host stages (quad extraction, native subpixel
+        # refine) of chunk i overlap the device work of chunks i+1...
+        C = min(self.chunk, B)
+        n_chunks = (B + C - 1) // C
+        dev_chunks, packed_chunks = [], []
+        for ci in range(n_chunks):
+            lo = ci * C
+            part = dev_all[lo : lo + C]
+            if part.shape[0] < C:  # pad final chunk to keep shapes static
+                reps = jnp.repeat(part[-1:], C - part.shape[0], axis=0)
+                part = jnp.concatenate([part, reps], axis=0)
+            padded, _, _ = pad_to_tile(part)
+            dev_chunks.append(part.astype(jnp.float32))
+            packed_chunks.append(adaptive_threshold_packed(padded))
+        pw = int(pad_to_tile(dev_all[:1])[0].shape[-1])
 
         results: List[Dict[int, np.ndarray]] = []
-        for b in range(B):
-            best: Dict[int, Tuple[int, int]] = {}
-            for k in np.flatnonzero(valid[b]):
-                tid = int(tag_id[b, k])
-                if tid not in best or hamming[b, k] < best[tid][1]:
-                    best[tid] = (int(k), int(hamming[b, k]))
-            results.append(
-                {tid: corners[b, k].copy() for tid, (k, _) in best.items()}
-            )
+        for ci in range(n_chunks):
+            lo = ci * C
+            nb = min(C, B - lo)
+            with stage("detect/threshold"):
+                packed = np.asarray(packed_chunks[ci])
+                binary = np.unpackbits(packed, axis=-1, count=pw)[:, :H, :W]
+            with stage("detect/quadproc"):
+                quads, counts = extract_quads_batch(
+                    binary, max_quads=self.max_quads
+                )
+            dev_f32 = dev_chunks[ci]
+            imgs_c = imgs[lo : lo + nb]
+            if imgs_c.shape[0] < C:
+                imgs_c = np.concatenate(
+                    [imgs_c, np.repeat(imgs_c[-1:], C - imgs_c.shape[0], axis=0)]
+                )
+            if self.refine:
+                # subpixel-refine ALL candidate corners BEFORE decoding:
+                # sharper homographies make bit sampling markedly more
+                # reliable on small/strongly-distorted tags.
+                with stage("detect/refine"):
+                    if self.native_refine:
+                        quads = refine_corners_native(
+                            imgs_c, quads.reshape(C, -1, 2), counts=counts, group=4
+                        ).reshape(quads.shape)
+                        quads_j = jnp.asarray(quads)
+                    else:
+                        quads_j = refine_corners(
+                            dev_f32, jnp.asarray(quads).reshape(C, -1, 2)
+                        ).reshape(quads.shape)
+            else:
+                quads_j = jnp.asarray(quads)
 
-        if board is not None:
-            from .assist import recover_missing_tags
+            with stage("detect/decode"):
+                out = decode_quads(self.family, dev_f32, quads_j, jnp.asarray(counts))
+            tag_id = np.asarray(out["tag_id"])
+            hamming = np.asarray(out["hamming"])
+            valid = np.asarray(out["valid"])
+            corners = np.asarray(out["corners"])  # (C,K,4,2)
 
-            with stage("detect/assist"):
-                recover_missing_tags(self.family, board, imgs, dev_f32, results)
+            chunk_results: List[Dict[int, np.ndarray]] = []
+            for b in range(nb):
+                best: Dict[int, Tuple[int, int]] = {}
+                for k in np.flatnonzero(valid[b]):
+                    tid = int(tag_id[b, k])
+                    if tid not in best or hamming[b, k] < best[tid][1]:
+                        best[tid] = (int(k), int(hamming[b, k]))
+                chunk_results.append(
+                    {tid: corners[b, k].copy() for tid, (k, _) in best.items()}
+                )
+
+            if board is not None:
+                from .assist import recover_missing_tags
+
+                with stage("detect/assist"):
+                    # pass the full (padded) chunk so decode shapes stay
+                    # static; only the nb real frames appear in the results
+                    recover_missing_tags(
+                        self.family, board, imgs_c, dev_f32, chunk_results
+                    )
+            results.extend(chunk_results)
         return results
 
     # -------------------------------------------------------------- single

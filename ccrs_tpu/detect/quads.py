@@ -94,7 +94,12 @@ def extract_quads_batch(
 
 
 def refine_corners_native(
-    images: np.ndarray, corners: np.ndarray, win: int = 4, iters: int = 6
+    images: np.ndarray,
+    corners: np.ndarray,
+    win: int = 4,
+    iters: int = 6,
+    counts: np.ndarray = None,
+    group: int = 1,
 ) -> np.ndarray:
     """Native cornerSubPix-style refinement (math mirrors detect/refine.py,
     which is the reference implementation; this one runs the scattered tiny
@@ -103,6 +108,10 @@ def refine_corners_native(
     Args:
       images: (B, H, W) float32 grayscale.
       corners: (B, M, 2) float32 initial positions.
+      counts: optional (B,) — only the first counts[b]*group rows of image
+        b are real; padding rows are skipped (the detector's quad buffers
+        are heavily padded, and this host stage runs on few cores).
+      group: corners per counted unit (4 for quads).
 
     Returns refined (B, M, 2) float32.
     """
@@ -110,13 +119,25 @@ def refine_corners_native(
     images = np.ascontiguousarray(images, dtype=np.float32)
     B, H, W = images.shape
     M = corners.shape[1]
-    flat = np.ascontiguousarray(corners.reshape(-1, 2), dtype=np.float32).copy()
-    idx = np.repeat(np.arange(B, dtype=np.int32), M)
-    lib.refine_corners_native(
-        images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        B, H, W,
-        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        flat.shape[0], win, iters,
-    )
-    return flat.reshape(B, M, 2)
+    out = np.ascontiguousarray(corners, dtype=np.float32).copy()
+    if counts is None:
+        flat = out.reshape(-1, 2)
+        idx = np.repeat(np.arange(B, dtype=np.int32), M)
+    else:
+        n_real = np.minimum(np.asarray(counts) * group, M)
+        sel_b = np.repeat(np.arange(B), n_real)
+        sel_m = np.concatenate([np.arange(n) for n in n_real]).astype(np.int64)
+        flat = np.ascontiguousarray(out[sel_b, sel_m], dtype=np.float32)
+        idx = sel_b.astype(np.int32)
+    if flat.shape[0]:
+        lib.refine_corners_native(
+            images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            B, H, W,
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            flat.shape[0], win, iters,
+        )
+    if counts is None:
+        return flat.reshape(B, M, 2)
+    out[sel_b, sel_m] = flat
+    return out
