@@ -147,3 +147,139 @@ def ba_step_sharded(
 def sharded_frame_sharding(mesh: Mesh):
     """NamedSharding for (F, ...) arrays sharded over the frame axis."""
     return NamedSharding(mesh, P(FRAME_AXIS))
+
+
+@lru_cache(maxsize=32)
+def make_ba_solver(
+    project_fn,
+    mesh: Mesh,
+    one_focal: bool = False,
+    huber_delta: float = 1.0,
+    max_iters: int = 60,
+):
+    """Build (and cache) a jitted FULL frame-sharded LM solve.
+
+    Semantics match ``solve.lm.ba_solve`` (same damping schedule,
+    accept/reject, bounds, free-mask, Huber IRLS); the entire
+    ``lax.while_loop`` runs inside one ``shard_map``: poses/observations
+    stay device-local, each iteration reduces the packed
+    (U | Schur correction | rhs) system plus the robust cost with psums
+    over the frame axis, and the accept/reject scalars are replicated
+    (identical on every device by construction).
+
+    Returned solve: ``solve(theta0, poses0, p3d, p2d, w, lo, hi, free,
+    frame_valid) -> (theta, poses, cost, iters)`` with (F, ...) arrays
+    sharded over the mesh (pad F to a mesh multiple with pad_frames and
+    zero weights).
+    """
+    from ..solve.lm import LMOptions, expand_theta, huber_block_weight, huber_cost
+
+    opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta)
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(FRAME_AXIS), P(), P(FRAME_AXIS), P(FRAME_AXIS),
+            P(), P(), P(), P(FRAME_AXIS),
+        ),
+        out_specs=(P(), P(FRAME_AXIS), P(), P()),
+    )
+    def solve(theta0, poses0, p3d, p2d, w, lo, hi, free, frame_valid):
+        k = theta0.shape[0]
+        dtype = theta0.dtype
+        w = w * frame_valid[:, None]
+
+        def frame_residual(theta, pose, p2d_f):
+            params = expand_theta(theta, one_focal)
+            pc = se3.transform(pose[:3], pose[3:], p3d)
+            proj, _ = project_fn(params, pc)
+            return proj - p2d_f
+
+        def cost_of(theta, poses):
+            r = jax.vmap(frame_residual, in_axes=(None, 0, 0))(theta, poses, p2d)
+            r2 = jnp.sum(r * r, axis=-1)
+            local = jnp.sum(w * huber_cost(r2, huber_delta))
+            return jax.lax.psum(local, FRAME_AXIS)
+
+        def body(state):
+            theta, poses, lam, cost, it, done = state
+
+            def frame_jac(pose, p2d_f):
+                Jt, Jp = jax.jacfwd(frame_residual, argnums=(0, 1))(
+                    theta, pose, p2d_f
+                )
+                return frame_residual(theta, pose, p2d_f), Jt, Jp
+
+            r, Jt, Jp = jax.vmap(frame_jac)(poses, p2d)
+            Jt = Jt * free[None, None, None, :]
+            r2 = jnp.sum(r * r, axis=-1)
+            wt = w * huber_block_weight(r2, huber_delta)
+
+            U = jnp.einsum("fnri,fnrj,fn->ij", Jt, Jt, wt)
+            A = jnp.einsum("fnri,fnrj,fn->fij", Jp, Jp, wt)
+            B = jnp.einsum("fnri,fnrj,fn->fij", Jt, Jp, wt)
+            g_t = jnp.einsum("fnri,fnr,fn->i", Jt, r, wt)
+            g_p = jnp.einsum("fnri,fnr,fn->fi", Jp, r, wt)
+
+            def try_step(lam):
+                Ad = A + lam * jax.vmap(
+                    lambda a: jnp.diag(jnp.maximum(jnp.diagonal(a), 1e-12))
+                )(A)
+                eye6 = jnp.eye(6, dtype=dtype)
+                Ad = jnp.where(frame_valid[:, None, None] > 0, Ad, eye6)
+                La = jax.vmap(jnp.linalg.cholesky)(Ad)
+                Ainv_Bt = jax.vmap(
+                    lambda L, b: jax.scipy.linalg.cho_solve((L, True), b.T)
+                )(La, B)
+                Ainv_g = jax.vmap(
+                    lambda L, g: jax.scipy.linalg.cho_solve((L, True), g)
+                )(La, g_p)
+                corr = jnp.einsum("fij,fjk->ik", B, Ainv_Bt)
+                rhs_l = -(g_t - jnp.einsum("fik,fi->k", Ainv_Bt, g_p))
+                packed = jnp.concatenate([U, corr, rhs_l[None, :]], axis=0)
+                packed = jax.lax.psum(packed, FRAME_AXIS)
+                U_tot, corr_t, rhs = packed[:k], packed[k : 2 * k], packed[2 * k]
+                U_tot = U_tot + jnp.diag(1.0 - free)
+                Ud = U_tot + lam * jnp.diag(
+                    jnp.maximum(jnp.diagonal(U_tot), 1e-12)
+                )
+                S = Ud - corr_t
+                Ls = jnp.linalg.cholesky(S)
+                dth = jax.scipy.linalg.cho_solve((Ls, True), rhs)
+                dth = jnp.where(jnp.isfinite(dth), dth, 0.0)
+                dpo = -(Ainv_g + jnp.einsum("fik,k->fi", Ainv_Bt, dth))
+                dpo = jnp.where(jnp.isfinite(dpo), dpo, 0.0)
+                th_new = jnp.clip(theta + dth * free, lo, hi)
+                po_new = poses + dpo * frame_valid[:, None]
+                return th_new, po_new
+
+            th_new, po_new = try_step(lam)
+            c_new = cost_of(th_new, po_new)
+            accept = c_new < cost
+            theta = jnp.where(accept, th_new, theta)
+            poses = jnp.where(accept, po_new, poses)
+            lam = jnp.clip(
+                jnp.where(accept, lam * opts.lam_down, lam * opts.lam_up),
+                opts.lam_min,
+                opts.lam_max,
+            )
+            converged = accept & (
+                cost - c_new <= opts.rtol * jnp.maximum(cost, 1e-300)
+            )
+            cost = jnp.where(accept, c_new, cost)
+            return theta, poses, lam, cost, it + 1, done | converged
+
+        def cond(state):
+            return (~state[5]) & (state[4] < max_iters)
+
+        theta0 = jnp.clip(theta0, lo, hi)
+        state = (
+            theta0, poses0, jnp.asarray(opts.lam0, dtype),
+            cost_of(theta0, poses0), 0, jnp.asarray(False),
+        )
+        theta, poses, _, cost, it, _ = jax.lax.while_loop(cond, body, state)
+        return theta, poses, cost, it
+
+    return solve

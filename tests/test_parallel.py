@@ -74,3 +74,37 @@ def test_sharded_iterations_converge():
             project_eucm, theta, poses, p3d_j, p2d_p, w_p, free, jnp.asarray(1e-8), mesh
         )
     np.testing.assert_allclose(np.asarray(theta), gt, rtol=1e-8)
+
+
+def test_full_sharded_solve_matches_single_device():
+    from ccrs_tpu.parallel.mesh import make_ba_solver, sharded_frame_sharding
+
+    gt, p3d, poses_gt, p2d = _case(F=24, seed=2)
+    mesh = make_mesh()
+    solve = make_ba_solver(project_eucm, mesh)
+    theta0 = jnp.asarray(gt * 1.03)
+    lo = jnp.asarray([0.0, 0.0, 0.0, 0.0, 1e-6, 1e-6])
+    hi = jnp.asarray([1e4, 1e4, 512.0, 512.0, 1.0, 10.0])
+    free = jnp.ones(6)
+    (p2d_p, w_p, poses0, fv), F = pad_frames(
+        [
+            jnp.asarray(p2d), jnp.ones(p2d.shape[:2]),
+            jnp.asarray(poses_gt + 0.004), jnp.ones(p2d.shape[0]),
+        ],
+        len(jax.devices()),
+    )
+    sh = sharded_frame_sharding(mesh)
+    th, po, cost, it = solve(
+        theta0, jax.device_put(poses0, sh), jnp.asarray(p3d),
+        jax.device_put(p2d_p, sh), jax.device_put(w_p, sh), lo, hi, free,
+        jax.device_put(fv, sh),
+    )
+    ref = ba_solve(
+        project_eucm, theta0, jnp.asarray(poses_gt + 0.004), jnp.asarray(p3d),
+        jnp.asarray(p2d), jnp.ones(p2d.shape[:2]), lo, hi, free,
+        jnp.ones(p2d.shape[0]),
+    )
+    # same solution (identical schedule => near-identical trajectories)
+    np.testing.assert_allclose(np.asarray(th), np.asarray(ref.theta), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(po)[:F], np.asarray(ref.poses), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(th), gt, rtol=1e-8)
