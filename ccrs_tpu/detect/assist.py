@@ -21,9 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..board import Board
-from .decode import decode_quads
+from .decode import decode_quads_compact
 from .families import TagFamily
-from .quads import refine_corners_native
 
 ASSIST_EXTRA_HAMMING = 2
 MIN_TAGS_FOR_ASSIST = 4
@@ -124,27 +123,25 @@ def recover_missing_tags(
     if not cand:
         return 0
 
-    # refine all predicted corners on the image, then decode in one batch
-    # (grouped per frame as a padded (B, K, 4, 2) tensor)
-    per_frame: Dict[int, list] = {}
+    # refine all predicted corners on the image, then decode the compact
+    # candidate list in one device call (bucketed to a static size)
+    total = len(cand)
+    bucket = 256
+    while bucket < total:
+        bucket *= 2
+    quads = np.zeros((bucket, 4, 2), np.float32)
+    qframe = np.zeros(bucket, np.int32)
+    qvalid = np.zeros(bucket, bool)
     for i, (b, t, q) in enumerate(cand):
-        per_frame.setdefault(b, []).append(i)
-    # fixed K: a data-dependent K would give decode_quads a fresh shape
-    # (and a fresh compile) on every call
-    K = n_tags
-    quads = np.zeros((B, K, 4, 2), np.float32)
-    counts = np.zeros(B, np.int32)
-    slot_of = {}
-    for b, idxs in per_frame.items():
-        for s, i in enumerate(idxs):
-            quads[b, s] = cand[i][2]
-            slot_of[i] = (b, s)
-        counts[b] = len(idxs)
+        quads[i] = q
+        qframe[i] = b
+        qvalid[i] = True
 
-    refined = refine_corners_native(
-        imgs_f32, quads.reshape(B, -1, 2), counts=counts, group=4
-    ).reshape(quads.shape)
-    out = decode_quads(family, dev_imgs_f32, jnp.asarray(refined), jnp.asarray(counts))
+    refined = _refine_compact(imgs_f32, quads, qframe, total)
+    out = decode_quads_compact(
+        family, dev_imgs_f32, jnp.asarray(refined), jnp.asarray(qframe),
+        jnp.asarray(qvalid),
+    )
     tag_id = np.asarray(out["tag_id"])
     hamming = np.asarray(out["hamming"])
     corners = np.asarray(out["corners"])
@@ -152,9 +149,31 @@ def recover_missing_tags(
     recovered = 0
     budget = family.max_hamming + ASSIST_EXTRA_HAMMING
     for i, (b, t_expect, _) in enumerate(cand):
-        b2, s = slot_of[i]
-        if int(tag_id[b2, s]) == t_expect and int(hamming[b2, s]) <= budget:
-            if t_expect not in results[b2]:
-                results[b2][t_expect] = corners[b2, s].copy()
+        if int(tag_id[i]) == t_expect and int(hamming[i]) <= budget:
+            if t_expect not in results[b]:
+                results[b][t_expect] = corners[i].copy()
                 recovered += 1
     return recovered
+
+
+def _refine_compact(imgs_f32, quads, qframe, total):
+    """Subpixel-refine a compact (Q,4,2) quad list via the native kernel."""
+    from .quads import _load
+    import ctypes
+
+    lib = _load()
+    images = np.ascontiguousarray(imgs_f32, dtype=np.float32)
+    B, H, W = images.shape
+    flat = np.ascontiguousarray(quads[:total].reshape(-1, 2), np.float32).copy()
+    idx = np.repeat(qframe[:total], 4).astype(np.int32)
+    if flat.shape[0]:
+        lib.refine_corners_native(
+            images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            B, H, W,
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            flat.shape[0], 4, 6,
+        )
+    out = quads.copy()
+    out[:total] = flat.reshape(-1, 4, 2)
+    return out

@@ -112,6 +112,76 @@ def _sample_grids(family: TagFamily):
 
 
 @partial(jax.jit, static_argnames=("family",))
+def decode_quads_compact(family: TagFamily, images, quads, qframe, qvalid):
+    """Decode a COMPACT quad list (padded to a static bucket size).
+
+    The per-frame (B, K) layout wastes most of its rows on padding (K is
+    sized for the worst frame); compacting to (Q, 4, 2) + frame indices
+    cuts the gather-bound bit sampling ~3x.
+
+    Args:
+      images: (B, H, W) f32.
+      quads: (Q, 4, 2) corners; rows past the real count are padding.
+      qframe: (Q,) int32 frame index per quad.
+      qvalid: (Q,) bool padding mask.
+
+    Returns dict of (Q,) tag_id / rotation / hamming / valid and (Q, 4, 2)
+    canonical corners.
+    """
+    data_uv, black_uv, white_uv = _sample_grids(family)
+    codes = jnp.asarray(family.rotated_codes, dtype=jnp.float32)
+    nbits = codes.shape[1]
+    B, H, W = images.shape
+    flat = images.reshape(-1)
+
+    def sample(qf, xy):
+        x = jnp.clip(xy[:, 0], 0.0, W - 1.001)
+        y = jnp.clip(xy[:, 1], 0.0, H - 1.001)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = x - x0
+        fy = y - y0
+        base = qf * (H * W) + y0 * W + x0
+        v00 = flat[base]
+        v01 = flat[base + 1]
+        v10 = flat[base + W]
+        v11 = flat[base + W + 1]
+        return (
+            v00 * (1 - fx) * (1 - fy)
+            + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy
+            + v11 * fx * fy
+        )
+
+    def per_quad(quad, qf):
+        Hm = _unit_square_homography(quad)
+        dpix = sample(qf, _apply_h(Hm, data_uv)).reshape(-1, 9).mean(axis=1)
+        black = jnp.mean(sample(qf, _apply_h(Hm, black_uv)))
+        white = jnp.mean(sample(qf, _apply_h(Hm, white_uv)))
+        thr = 0.5 * (black + white)
+        bits = jnp.where(dpix > thr, 1.0, -1.0)
+        return bits, (white - black) > MIN_DECODE_CONTRAST
+
+    bits, contrast_ok = jax.vmap(per_quad)(quads, qframe)  # (Q,nbits)
+    scores = bits @ codes.T
+    best = jnp.argmax(scores, axis=1)
+    hamming = ((nbits - scores[jnp.arange(bits.shape[0]), best]) / 2).astype(jnp.int32)
+    tag_id = best // 4
+    rotation = best % 4
+    valid = qvalid & contrast_ok & (hamming <= family.max_hamming)
+    kalibr_perm = jnp.asarray([1, 0, 3, 2])
+    idx = (kalibr_perm[None, :] - rotation[:, None]) % 4
+    corners = jnp.take_along_axis(quads, idx[..., None], axis=1)
+    return {
+        "tag_id": tag_id,
+        "rotation": rotation,
+        "hamming": hamming,
+        "valid": valid,
+        "corners": corners,
+    }
+
+
+@partial(jax.jit, static_argnames=("family",))
 def decode_quads(family: TagFamily, images, quads, counts):
     """Decode all candidate quads.
 

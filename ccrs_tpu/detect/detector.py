@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.profiling import stage
-from .decode import decode_quads
+from .decode import decode_quads, decode_quads_compact
 from .families import TagFamily, get_family
 from .quads import MAX_QUADS, extract_quads_batch, refine_corners_native
 from .refine import refine_corners
@@ -151,22 +151,46 @@ class TagDetector:
                 quads_j = jnp.asarray(quads)
 
             with stage("detect/decode"):
-                out = decode_quads(self.family, dev_f32, quads_j, jnp.asarray(counts))
+                # compact the (C, K) quad buffer (mostly padding) to a
+                # static bucket of real quads — ~3x fewer sampling gathers
+                quads_np = np.asarray(quads_j)
+                n_real = np.minimum(counts, quads_np.shape[1])
+                qframe = np.repeat(np.arange(C, dtype=np.int32), n_real)
+                sel_k = np.concatenate(
+                    [np.arange(n) for n in n_real] or [np.zeros(0, np.int64)]
+                ).astype(np.int64)
+                total = qframe.shape[0]
+                bucket = 256
+                while bucket < total:
+                    bucket *= 2
+                qq = np.zeros((bucket, 4, 2), np.float32)
+                qq[:total] = quads_np[qframe, sel_k]
+                qf = np.zeros(bucket, np.int32)
+                qf[:total] = qframe
+                qv = np.zeros(bucket, bool)
+                qv[:total] = True
+                out = decode_quads_compact(
+                    self.family, dev_f32, jnp.asarray(qq), jnp.asarray(qf),
+                    jnp.asarray(qv),
+                )
             tag_id = np.asarray(out["tag_id"])
             hamming = np.asarray(out["hamming"])
             valid = np.asarray(out["valid"])
-            corners = np.asarray(out["corners"])  # (C,K,4,2)
+            corners = np.asarray(out["corners"])  # (bucket,4,2)
 
-            chunk_results: List[Dict[int, np.ndarray]] = []
-            for b in range(nb):
-                best: Dict[int, Tuple[int, int]] = {}
-                for k in np.flatnonzero(valid[b]):
-                    tid = int(tag_id[b, k])
-                    if tid not in best or hamming[b, k] < best[tid][1]:
-                        best[tid] = (int(k), int(hamming[b, k]))
-                chunk_results.append(
-                    {tid: corners[b, k].copy() for tid, (k, _) in best.items()}
-                )
+            best_all: List[Dict[int, Tuple[int, int]]] = [dict() for _ in range(nb)]
+            for q in np.flatnonzero(valid[:total]):
+                b = int(qf[q])
+                if b >= nb:
+                    continue
+                tid = int(tag_id[q])
+                cur = best_all[b]
+                if tid not in cur or hamming[q] < cur[tid][1]:
+                    cur[tid] = (int(q), int(hamming[q]))
+            chunk_results: List[Dict[int, np.ndarray]] = [
+                {tid: corners[q].copy() for tid, (q, _) in best.items()}
+                for best in best_all
+            ]
 
             if board is not None:
                 from .assist import recover_missing_tags
