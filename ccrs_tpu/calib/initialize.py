@@ -110,13 +110,6 @@ def init_poses(board: Board, batch: FrameBatch, frame_ids, lam: float):
     return np.concatenate([np.asarray(r), np.asarray(t)], axis=1)
 
 
-# full-UCM bounds used by the init stages
-def _ucm_bounds(width, height):
-    lo = np.array([0.0, 0.0, 0.0, 1e-6])
-    hi = np.array([1e4, width, height, 1.0])
-    return lo, hi
-
-
 def init_ucm(
     board: Board,
     batch: FrameBatch,

@@ -56,8 +56,7 @@ def disabled_free_mask(model: GenericModel, one_focal: bool, disabled: int):
     return free
 
 
-@partial(jax.jit, static_argnames=("unproj",))
-def _pose_init_device(unproj, params, p2d, mask, p3d):
+def _pose_init_core(unproj, params, p2d, mask, p3d):
     """Whole per-frame pose init as ONE device graph: unproject -> x/z ->
     batched planar PnP (remote dispatch latency makes eager op-by-op
     execution ~50x slower here)."""
@@ -76,6 +75,30 @@ def _pose_init_device(unproj, params, p2d, mask, p3d):
     poses = jnp.concatenate([r, t], axis=1)
     poses = jnp.where(jnp.isfinite(poses), poses, 0.0)
     return poses, frame_valid
+
+
+_pose_init_device = partial(jax.jit, static_argnames=("unproj",))(_pose_init_core)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("unproj", "project_fn", "one_focal", "max_iters", "huber_delta"),
+)
+def _calib_camera_device(
+    unproj, project_fn, theta0, params_full, p2d, mask, p3d, lo, hi, free,
+    one_focal: bool, max_iters: int = 60, huber_delta: float = 1.0,
+):
+    """Whole single-camera calibration as ONE device graph:
+    unproject -> planar-PnP pose init -> Schur LM bundle adjustment
+    (halves the dispatch round-trips of calib_camera)."""
+    poses0, frame_valid = _pose_init_core(unproj, params_full, p2d, mask, p3d)
+    frame_valid = frame_valid * (jnp.sum(mask, axis=1) > 0)
+    res = ba_solve(
+        project_fn, theta0, poses0, p3d, p2d, mask.astype(theta0.dtype),
+        lo, hi, free, frame_valid,
+        one_focal=one_focal, max_iters=max_iters, huber_delta=huber_delta,
+    )
+    return res, frame_valid
 
 
 def init_frame_poses(board: Board, batch: FrameBatch, model: GenericModel):
@@ -119,28 +142,21 @@ def calib_camera(
     lo = np.where(free == 0.0, -np.inf, lo)
     hi = np.where(free == 0.0, np.inf, hi)
 
-    poses0, frame_valid = init_frame_poses(board, batch, camera)
-    frame_valid = frame_valid * (batch.counts() > 0)
-    if frame_valid.sum() == 0:
-        return None
-
-    w = (batch.mask & True).astype(np.float64)
-    args = dict(
-        project_fn=project_fn(camera.name),
-        p3d=jnp.asarray(board.p3d, dtype=jnp.float64),
-        p2d=jnp.asarray(batch.p2d),
-        w=jnp.asarray(w),
-        lo=jnp.asarray(lo),
-        hi=jnp.asarray(hi),
-        frame_valid=jnp.asarray(frame_valid),
+    res, frame_valid_j = _calib_camera_device(
+        unproject_fn(camera.name),
+        project_fn(camera.name),
+        jnp.asarray(theta0),
+        jnp.asarray(camera.params),
+        jnp.asarray(batch.p2d),
+        jnp.asarray(batch.mask),
+        jnp.asarray(board.p3d, dtype=jnp.float64),
+        jnp.asarray(lo),
+        jnp.asarray(hi),
+        jnp.asarray(free),
         one_focal=xy_same_focal,
-        huber_delta=1.0,
     )
-    res = ba_solve(
-        theta0=jnp.asarray(theta0), poses0=jnp.asarray(poses0),
-        free=jnp.asarray(free), **args,
-    )
-    if not np.isfinite(float(res.cost)):
+    frame_valid = np.asarray(frame_valid_j)
+    if frame_valid.sum() == 0 or not np.isfinite(float(res.cost)):
         return None
     theta, poses = res.theta, res.poses
     if fixed_focal:
@@ -149,7 +165,11 @@ def calib_camera(
         free_fix = free.copy()
         free_fix[0] = 0.0
         res = ba_solve(
-            theta0=theta, poses0=poses, free=jnp.asarray(free_fix), **args
+            project_fn(camera.name), theta, poses,
+            jnp.asarray(board.p3d, dtype=jnp.float64), jnp.asarray(batch.p2d),
+            jnp.asarray(batch.mask.astype(np.float64)), jnp.asarray(lo),
+            jnp.asarray(hi), jnp.asarray(free_fix), frame_valid_j,
+            one_focal=xy_same_focal, huber_delta=1.0,
         )
         theta, poses = res.theta, res.poses
 
