@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0, help="PRNG seed (RANSAC/retries)")
     p.add_argument("--no-rerun", action="store_true", help="skip .rrd logging")
     p.add_argument(
+        "--export-camchain",
+        action="store_true",
+        help="also write a Kalibr camchain.yaml (eucm/ucm/kb4/opencv5)",
+    )
+    p.add_argument(
         "--detection-cache",
         default=None,
         metavar="DIR",
@@ -178,6 +183,14 @@ def save_and_validate_results(
             print(f"Cam {cam_idx} final params with extrinsic")
         write_report(f"{output_folder}/report.txt", True, rep_rms)
         object_to_json(f"{output_folder}/extrinsics.json", Extrinsics(t_i_0))
+        if args.export_camchain:
+            from .export import write_camchain
+
+            try:
+                write_camchain(f"{output_folder}/camchain.yaml", cam_models, t_i_0)
+                print(f"wrote {output_folder}/camchain.yaml")
+            except ValueError as e:
+                print(f"camchain export skipped: {e}")
         return cam_models, t_i_0
     # joint solve failed: fall back to per-camera results
     for cam_idx, (model, rtvecs) in enumerate(zip(intrinsics, cam_rtvecs)):
@@ -189,6 +202,14 @@ def save_and_validate_results(
             {str(f): rt.to_json() for f, rt in sorted(rtvecs.items())},
         )
     write_report(f"{output_folder}/report.txt", False, rep_rms)
+    if args.export_camchain:
+        from .export import write_camchain
+
+        try:
+            write_camchain(f"{output_folder}/camchain.yaml", intrinsics)
+            print(f"wrote {output_folder}/camchain.yaml")
+        except ValueError as e:
+            print(f"camchain export skipped: {e}")
     return intrinsics, None
 
 
