@@ -67,3 +67,36 @@ def test_cli_bad_path(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     with pytest.raises(SystemExit):
         main([str(tmp_path / "nope"), "--no-rerun"])
+
+
+def test_cli_custom_board_5x9(tmp_path, monkeypatch):
+    """Non-default board config (the reference ships board_config5x9.json):
+    render a 5x9 grid, calibrate via --board-config."""
+    import json as _json
+
+    from ccrs_tpu.board import Board, BoardConfig
+    from ccrs_tpu.detect import get_family
+    from ccrs_tpu.testdata import write_euroc_dataset
+
+    cfg = BoardConfig(tag_size_meter=0.088, tag_spacing=0.3, tag_rows=5,
+                      tag_cols=9, first_id=0)
+    (tmp_path / "board.json").write_text(_json.dumps(cfg.to_json()))
+    gt = GenericModel("eucm", [190.9, 190.87, 254.94, 256.86, 0.628, 1.046], 512, 512)
+    write_euroc_dataset(
+        str(tmp_path / "dataset"), gt, n_frames=16, seed=8, noise=1.5,
+        board=Board(cfg), family=get_family("t36h11"),
+    )
+    out = tmp_path / "out"
+    monkeypatch.chdir(tmp_path)
+    main(
+        [
+            str(tmp_path / "dataset"), "--model", "eucm",
+            "--board-config", str(tmp_path / "board.json"),
+            "--output-folder", str(out), "--no-rerun", "--seed", "2",
+        ]
+    )
+    blob = json.loads((out / "cam0.json").read_text())
+    assert abs(blob["EUCM"]["fx"] - gt.params[0]) / gt.params[0] < 0.01
+    report = (out / "report.txt").read_text()
+    med = float(report.split("median  reprojection error:")[1].split("px")[0])
+    assert med < 0.3, med
