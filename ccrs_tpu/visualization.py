@@ -42,6 +42,23 @@ def id_to_color(idx: int):
     return (int(c >> 16) % 256, int(c >> 8) % 256, int(c) % 256, 255)
 
 
+def _failsafe(method):
+    """Disable the recorder on the first rerun API error instead of taking
+    the calibration down (rerun-sdk versions move fast and this module is
+    exercised only when the optional dependency is installed)."""
+
+    def wrapper(self, *args, **kwargs):
+        if not self.active:
+            return
+        try:
+            return method(self, *args, **kwargs)
+        except Exception as e:  # pragma: no cover - depends on rerun version
+            log.warning("rerun logging disabled after error: %s", e)
+            self.active = False
+
+    return wrapper
+
+
 class Recorder:
     """Rerun recording wrapper; becomes a no-op when rerun is missing."""
 
@@ -50,13 +67,18 @@ class Recorder:
         if enabled and path and not HAVE_RERUN:
             log.info("rerun-sdk not installed; skipping .rrd logging")
         if self.active:
-            rr.init("calibration")
-            rr.save(path)
-            rr.log("/", rr.ViewCoordinates.RDF, static=True)
+            try:
+                rr.init("calibration")
+                rr.save(path)
+                rr.log("/", rr.ViewCoordinates.RDF, static=True)
+            except Exception as e:  # pragma: no cover
+                log.warning("rerun init failed (%s); logging disabled", e)
+                self.active = False
 
     def _time(self, t_ns: int):
         rr.set_time("stable", timestamp=np.datetime64(int(t_ns), "ns"))
 
+    @_failsafe
     def log_camera_image(self, cam_idx: int, t_ns: int, img, detections: Dict):
         if not self.active:
             return
@@ -79,6 +101,7 @@ class Recorder:
                 ),
             )
 
+    @_failsafe
     def log_keyframes(self, cam_idx: int, times_ns):
         if not self.active:
             return
@@ -86,6 +109,7 @@ class Recorder:
             self._time(t_ns)
             rr.log(f"/cam{cam_idx}/keyframe{j}", rr.TextLog("keyframe"))
 
+    @_failsafe
     def log_camera_transform(self, cam_idx: int, rtvec_inv_matrix: np.ndarray):
         if not self.active:
             return
@@ -98,6 +122,7 @@ class Recorder:
             static=True,
         )
 
+    @_failsafe
     def log_validation(self, cam_idx, batch, board, model, rtvecs, per_frame):
         if not self.active:
             return
