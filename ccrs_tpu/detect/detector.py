@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.profiling import stage
-from .decode import decode_quads, decode_quads_compact
+from .decode import decode_quads_compact, unsharp
 from .families import TagFamily, get_family
 from .quads import MAX_QUADS, extract_quads_batch, refine_corners_native
 from .refine import refine_corners
@@ -128,6 +128,7 @@ class TagDetector:
                     binary, max_quads=self.max_quads
                 )
             dev_f32 = dev_chunks[ci]
+            dev_sharp = unsharp(dev_f32)  # decode sampling only (see decode.unsharp)
             imgs_c = imgs[lo : lo + nb]
             if imgs_c.shape[0] < C:
                 imgs_c = np.concatenate(
@@ -170,7 +171,7 @@ class TagDetector:
                 qv = np.zeros(bucket, bool)
                 qv[:total] = True
                 out = decode_quads_compact(
-                    self.family, dev_f32, jnp.asarray(qq), jnp.asarray(qf),
+                    self.family, dev_sharp, jnp.asarray(qq), jnp.asarray(qf),
                     jnp.asarray(qv),
                 )
             tag_id = np.asarray(out["tag_id"])
@@ -199,7 +200,7 @@ class TagDetector:
                     # pass the full (padded) chunk so decode shapes stay
                     # static; only the nb real frames appear in the results
                     recover_missing_tags(
-                        self.family, board, imgs_c, dev_f32, chunk_results
+                        self.family, board, imgs_c, dev_sharp, chunk_results
                     )
             results.extend(chunk_results)
         return results
