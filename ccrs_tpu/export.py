@@ -23,7 +23,6 @@ from __future__ import annotations
 import logging
 from typing import Dict, List, Optional
 
-import numpy as np
 
 from .models import GenericModel
 from .types import RvecTvec
