@@ -24,7 +24,7 @@ from .decode import decode_quads_compact, unsharp
 from .families import TagFamily, get_family
 from .quads import MAX_QUADS, extract_quads_batch, refine_corners_native
 from .refine import refine_corners
-from .threshold import adaptive_threshold, adaptive_threshold_packed, pad_to_tile
+from .threshold import adaptive_threshold, adaptive_threshold_packed2, pad_to_tile
 
 
 def _to_gray_f32(img: np.ndarray) -> np.ndarray:
@@ -113,7 +113,7 @@ class TagDetector:
                 part = jnp.concatenate([part, reps], axis=0)
             padded, _, _ = pad_to_tile(part)
             dev_chunks.append(part.astype(jnp.float32))
-            packed_chunks.append(adaptive_threshold_packed(padded))
+            packed_chunks.append(adaptive_threshold_packed2(padded))
         pw = int(pad_to_tile(dev_all[:1])[0].shape[-1])
 
         results: List[Dict[int, np.ndarray]] = []
@@ -121,12 +121,19 @@ class TagDetector:
             lo = ci * C
             nb = min(C, B - lo)
             with stage("detect/threshold"):
-                packed = np.asarray(packed_chunks[ci])
-                binary = np.unpackbits(packed, axis=-1, count=pw)[:, :H, :W]
+                packed = np.asarray(packed_chunks[ci])  # (C, 2, Hp, Wp/8)
+                binary = np.unpackbits(packed, axis=-1, count=pw)[:, :, :H, :W]
             with stage("detect/quadproc"):
-                quads, counts = extract_quads_batch(
-                    binary, max_quads=self.max_quads
-                )
+                # both erosion levels; decode dedups (scale-dependent
+                # corner-square bridges survive a single erosion)
+                half = self.max_quads // 2
+                q1, c1 = extract_quads_batch(binary[:, 0], max_quads=half)
+                q2, c2 = extract_quads_batch(binary[:, 1], max_quads=half)
+                quads = np.zeros((C, self.max_quads, 4, 2), np.float32)
+                counts = np.minimum(c1 + c2, self.max_quads)
+                for b in range(C):
+                    quads[b, : c1[b]] = q1[b, : c1[b]]
+                    quads[b, c1[b] : c1[b] + c2[b]] = q2[b, : c2[b]]
             dev_f32 = dev_chunks[ci]
             dev_sharp = unsharp(dev_f32)  # decode sampling only (see decode.unsharp)
             imgs_c = imgs[lo : lo + nb]

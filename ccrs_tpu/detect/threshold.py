@@ -70,6 +70,13 @@ def adaptive_threshold(
     return binary.astype(jnp.uint8)
 
 
+def _pack(binary):
+    B, H, W = binary.shape
+    bits = binary.reshape(B, H, W // 8, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.uint8)
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("tile", "min_contrast", "separate"))
 def adaptive_threshold_packed(
     images, tile: int = TILE, min_contrast: float = MIN_CONTRAST,
@@ -78,11 +85,25 @@ def adaptive_threshold_packed(
     """adaptive_threshold + on-device bit packing: returns (B, H, W//8)
     uint8 so the device->host transfer is 8x smaller (the tunnel link is
     the bottleneck, ~45 MB/s measured)."""
-    binary = adaptive_threshold(images, tile, min_contrast, separate)
-    B, H, W = binary.shape
-    bits = binary.reshape(B, H, W // 8, 8)
-    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.uint8)
-    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+    return _pack(adaptive_threshold(images, tile, min_contrast, separate))
+
+
+@partial(jax.jit, static_argnames=("tile", "min_contrast"))
+def adaptive_threshold_packed2(
+    images, tile: int = TILE, min_contrast: float = MIN_CONTRAST
+):
+    """Two erosion levels in one pass: (B, 2, H, W//8) packed binaries.
+
+    Level 0 = one white-dilation (the standard separation pass); level 1 =
+    two dilations.  Anti-aliased Kalibr corner-square bridges grow with
+    tag scale — at ~140 px tags they survive a single erosion and merge
+    the tag into a cross shape, so quad extraction runs on both levels
+    and the decoder dedups."""
+    b1 = adaptive_threshold(images, tile, min_contrast, separate=True)
+    b2 = jax.lax.reduce_window(
+        b1.astype(bool), False, jax.lax.bitwise_or, (1, 3, 3), (1, 1, 1), "SAME"
+    ).astype(jnp.uint8)
+    return jnp.stack([_pack(b1), _pack(b2)], axis=1)
 
 
 def pad_to_tile(img, tile: int = TILE):

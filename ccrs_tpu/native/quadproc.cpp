@@ -316,10 +316,14 @@ int quadproc_extract(const uint8_t* bin, int H, int W, float* quads,
         if (!got) continue;
         refine_corners_linefit(contour, idx4, best_quad);
 
-        // validity: convex, filled, sane area
+        // validity: convex, sane area.  The lower fill bound rejects
+        // degenerate simplifications; the upper bound must stay loose:
+        // large tags get hollowed into thin shells by the low-contrast
+        // rule (area << hull area) and the decoder is the real junk
+        // filter.
         double qa = poly_area(best_quad, 4);
         double aqa = std::fabs(qa);
-        if (aqa < 0.6 * comp.area || aqa > 1.8 * comp.area) continue;
+        if (aqa < 0.6 * comp.area || aqa > 12.0 * comp.area) continue;
         if (aqa < min_area) continue;
         // convexity: all cross products same sign
         bool convex = true;
