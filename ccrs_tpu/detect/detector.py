@@ -124,16 +124,39 @@ class TagDetector:
                 packed = np.asarray(packed_chunks[ci])  # (C, 2, Hp, Wp/8)
                 binary = np.unpackbits(packed, axis=-1, count=pw)[:, :, :H, :W]
             with stage("detect/quadproc"):
-                # both erosion levels; decode dedups (scale-dependent
-                # corner-square bridges survive a single erosion)
+                # both erosion levels (scale-dependent corner-square
+                # bridges survive a single erosion); level-2 quads whose
+                # center falls inside an existing level-1 quad's radius are
+                # duplicates and dropped before the decode bucket.
                 half = self.max_quads // 2
                 q1, c1 = extract_quads_batch(binary[:, 0], max_quads=half)
                 q2, c2 = extract_quads_batch(binary[:, 1], max_quads=half)
                 quads = np.zeros((C, self.max_quads, 4, 2), np.float32)
-                counts = np.minimum(c1 + c2, self.max_quads)
+                counts = np.zeros(C, np.int32)
                 for b in range(C):
-                    quads[b, : c1[b]] = q1[b, : c1[b]]
-                    quads[b, c1[b] : c1[b] + c2[b]] = q2[b, : c2[b]]
+                    n1 = int(c1[b])
+                    quads[b, :n1] = q1[b, :n1]
+                    n = n1
+                    if c2[b]:
+                        cen1 = q1[b, :n1].mean(axis=1)  # (n1,2)
+                        cen2 = q2[b, : c2[b]].mean(axis=1)
+                        rad1 = (
+                            np.linalg.norm(
+                                q1[b, :n1] - cen1[:, None, :], axis=-1
+                            ).mean(axis=1)
+                            if n1
+                            else np.zeros(0)
+                        )
+                        for j in range(int(c2[b])):
+                            if n >= self.max_quads:
+                                break
+                            if n1 and (
+                                np.linalg.norm(cen1 - cen2[j], axis=1) < 0.7 * rad1
+                            ).any():
+                                continue
+                            quads[b, n] = q2[b, j]
+                            n += 1
+                    counts[b] = n
             dev_f32 = dev_chunks[ci]
             dev_sharp = unsharp(dev_f32)  # decode sampling only (see decode.unsharp)
             imgs_c = imgs[lo : lo + nb]
