@@ -27,6 +27,7 @@ from .families import TagFamily
 ASSIST_EXTRA_HAMMING = 2
 MIN_TAGS_FOR_ASSIST = 4
 N_NEIGHBORS = 4
+_BUCKET = 256  # grow-only decode bucket
 
 
 def _tag_corner_xy(board: Board, tag_local: int) -> np.ndarray:
@@ -124,11 +125,13 @@ def recover_missing_tags(
         return 0
 
     # refine all predicted corners on the image, then decode the compact
-    # candidate list in one device call (bucketed to a static size)
+    # candidate list in one device call (bucketed to a static size;
+    # grow-only so boundary-hovering counts don't flap the compiled shape)
+    global _BUCKET
     total = len(cand)
-    bucket = 256
-    while bucket < total:
-        bucket *= 2
+    while _BUCKET < total:
+        _BUCKET *= 2
+    bucket = _BUCKET
     quads = np.zeros((bucket, 4, 2), np.float32)
     qframe = np.zeros(bucket, np.int32)
     qvalid = np.zeros(bucket, bool)

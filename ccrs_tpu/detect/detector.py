@@ -66,6 +66,9 @@ class TagDetector:
         self.native_refine = native_refine
         self.max_quads = max_quads
         self.chunk = 64  # pipeline chunk (see detect_batch)
+        self._bucket = 256  # sticky decode bucket (grows, never shrinks —
+        # a count hovering at a power-of-two boundary must not flap the
+        # compiled decode shape)
 
     # ------------------------------------------------------------- batched
     def detect_batch(
@@ -191,9 +194,9 @@ class TagDetector:
                     [np.arange(n) for n in n_real] or [np.zeros(0, np.int64)]
                 ).astype(np.int64)
                 total = qframe.shape[0]
-                bucket = 256
-                while bucket < total:
-                    bucket *= 2
+                while self._bucket < total:
+                    self._bucket *= 2
+                bucket = self._bucket
                 qq = np.zeros((bucket, 4, 2), np.float32)
                 qq[:total] = quads_np[qframe, sel_k]
                 qf = np.zeros(bucket, np.int32)
