@@ -474,7 +474,12 @@ def ba_solve_multi(
             opts.lam_min,
             opts.lam_max,
         )
-        converged = accept & (cost - c_new <= opts.rtol * jnp.maximum(cost, 1e-300))
+        # stop on tiny relative decrease OR a vanished gradient (the large
+        # joint problems keep finding micro-improvements at the noise floor
+        # and would otherwise burn max_iters)
+        rel_small = cost - c_new <= opts.rtol * jnp.maximum(cost, 1e-300)
+        gsmall = jnp.max(jnp.abs(g_x)) <= 1e-9 * jnp.maximum(cost, 1.0)
+        converged = (accept & rel_small) | gsmall
         cost = jnp.where(accept, c_new, cost)
         return theta, ext, poses, lam, cost, it + 1, done | converged
 
