@@ -80,8 +80,11 @@ def init_and_calibrate_one_camera(
         return None
     # Sanity gate (improvement over the reference, which only retries on
     # solver failure): a "converged" solution with huge reprojection error
-    # means the init was degenerate — report failure so the retry ladder
-    # picks new frames instead of shipping garbage.
+    # usually means the init was degenerate — report failure so the retry
+    # ladder picks new frames instead of shipping garbage.  The gated
+    # result is still attached so the caller can fall back to the best
+    # attempt when every retry fails (e.g. the requested model simply
+    # cannot fit the data — pinned distortion on a fisheye).
     from .validate import reprojection_errors
 
     model, rtvecs = result
@@ -91,8 +94,12 @@ def init_and_calibrate_one_camera(
         med = float(np.median(errs))
         if med > 2.0:
             log.warning("calibration sanity check failed (median %.2f px)", med)
+            init_and_calibrate_one_camera.last_gated = (med, result)
             return None
     return result
+
+
+init_and_calibrate_one_camera.last_gated = None
 
 
 def calibrate_camera_with_retries(
@@ -104,15 +111,34 @@ def calibrate_camera_with_retries(
     seed: int = 0,
 ) -> Tuple[GenericModel, Dict[int, RvecTvec]]:
     """<=3 trials; retries pick random init frames
-    (bin/camera_calibration.rs:217-242).  Raises on exhaustion like the
-    reference's panic."""
+    (bin/camera_calibration.rs:217-242).
+
+    If every trial is rejected only by the reprojection sanity gate (the
+    solve converged but the requested model cannot represent the data,
+    e.g. pinned distortion on a fisheye), the best gated attempt is
+    returned with a warning — matching the reference's behavior of
+    emitting the result and letting report.txt carry the bad numbers.
+    Raises only when no trial produced a solution at all."""
     rng = np.random.default_rng(seed)
+    best_gated = None
     for trial in range(MAX_TRIALS):
         key, sub = jax.random.split(key)
+        init_and_calibrate_one_camera.last_gated = None
         result = init_and_calibrate_one_camera(
             board, batch, target_model, calib_params, sub,
             random_pick_two_frames=trial > 0, rng=rng,
         )
         if result is not None:
             return result
+        gated = init_and_calibrate_one_camera.last_gated
+        if gated is not None and (best_gated is None or gated[0] < best_gated[0]):
+            best_gated = gated
+    if best_gated is not None:
+        log.warning(
+            "all %d trials failed the sanity gate; returning the best "
+            "attempt (median %.2f px) — the chosen model/options likely "
+            "cannot represent this camera",
+            MAX_TRIALS, best_gated[0],
+        )
+        return best_gated[1]
     raise RuntimeError(f"Failed to calibrate camera after {MAX_TRIALS} trials")

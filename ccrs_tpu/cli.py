@@ -25,7 +25,7 @@ from .board import Board, BoardConfig
 from .calib import validation
 from .calib.frames import FrameBatch
 from .calib.multi import calib_all_camera_with_extrinsics, init_camera_extrinsic
-from .calib.pipeline import MAX_TRIALS, init_and_calibrate_one_camera
+from .calib.pipeline import calibrate_camera_with_retries
 from .dataloader import load_euroc, load_general
 from .detect import FAMILY_NAMES, TagDetector
 from .io import object_from_json, object_to_json, write_report
@@ -128,20 +128,14 @@ def calibrate_all_cameras(args, board, batches, recorder, key):
             disabled_distortion_num=args.disabled_distortion_num,
             one_focal=args.one_focal,
         )
-        rng = np.random.default_rng(args.seed + cam_idx)
-        result = None
-        for trial in range(MAX_TRIALS):
-            key, sub = jax.random.split(key)
-            result = init_and_calibrate_one_camera(
+        key, sub = jax.random.split(key)
+        try:
+            result = calibrate_camera_with_retries(
                 board, batch, zeros_like_model(args.model), calib_params, sub,
-                random_pick_two_frames=trial > 0, rng=rng,
+                seed=args.seed + cam_idx,
             )
-            if result is not None:
-                break
-        if result is None:
-            raise SystemExit(
-                f"Failed to calibrate cam{cam_idx} after {MAX_TRIALS} times"
-            )
+        except RuntimeError as e:
+            raise SystemExit(f"cam{cam_idx}: {e}")
         model, rtvecs = result
         intrinsics.append(model)
         cam_rtvecs.append(rtvecs)
