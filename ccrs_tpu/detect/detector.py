@@ -27,6 +27,62 @@ from .refine import refine_corners
 from .threshold import adaptive_threshold, adaptive_threshold_packed2, pad_to_tile
 
 
+_PATCH_BUCKET = [2048]  # grow-only corner-count bucket for extract_patches
+# (same rationale as TagDetector._bucket: a corner count hovering at a
+# power-of-two boundary must not flap the compiled gather shape)
+
+
+def _refine_via_patches(dev_f32, quads, qframe, total):
+    """Patch-based subpixel refinement for a compact (Q,4,2) quad list.
+
+    Device-resident variant of assist._refine_compact: PxP neighborhoods
+    are gathered on device (detect/patches.py) and only those uint8
+    patches cross the link (~0.3 KB/corner) instead of whole frames.
+    """
+    from .patches import extract_patches
+    from .quads import refine_corners_patches_native
+
+    if total == 0:
+        return quads
+    n = total * 4
+    while _PATCH_BUCKET[0] < n:
+        _PATCH_BUCKET[0] *= 2
+    bucket = _PATCH_BUCKET[0]
+    corners = np.zeros((bucket, 2), np.float32)
+    corners[:n] = quads[:total].reshape(-1, 2)
+    qf = np.zeros(bucket, np.int32)
+    qf[:n] = np.repeat(np.asarray(qframe[:total]), 4)
+    patches, local, offset = extract_patches(
+        dev_f32, jnp.asarray(corners), jnp.asarray(qf), as_u8=True
+    )
+    # download the full (static-shape) bucket and slice on host — a [:n]
+    # device slice would compile a fresh kernel per distinct n
+    refined_local = refine_corners_patches_native(
+        np.asarray(patches)[:n].astype(np.float32), np.asarray(local)[:n]
+    )
+    out = quads.copy()
+    out[:total] = (refined_local + np.asarray(offset)[:n]).reshape(-1, 4, 2)
+    return out
+
+
+def _refine_quads_via_patches(dev_f32, quads, counts):
+    """Patch-based refinement over a padded (C, K, 4, 2) quad buffer."""
+    C, K = quads.shape[:2]
+    n_real = np.minimum(np.asarray(counts), K)
+    sel_b = np.repeat(np.arange(C), n_real)
+    sel_k = np.concatenate(
+        [np.arange(n) for n in n_real] or [np.zeros(0, np.int64)]
+    ).astype(np.int64)
+    total = sel_b.shape[0]
+    if total == 0:
+        return quads
+    compact = np.ascontiguousarray(quads[sel_b, sel_k], np.float32)
+    refined = _refine_via_patches(dev_f32, compact, sel_b.astype(np.int32), total)
+    out = quads.copy()
+    out[sel_b, sel_k] = refined
+    return out
+
+
 def _to_gray_f32(img: np.ndarray) -> np.ndarray:
     """Any common image format -> float32 grayscale on a 0..255 scale."""
     img = np.asarray(img)
@@ -89,17 +145,28 @@ class TagDetector:
           TL, TR, BR, BL in the tag's canonical orientation (board corner
           ids tag*4 + {0,1,2,3}).
         """
-        raw = np.asarray(images)
-        if raw.ndim == 3 and raw.dtype == np.uint8:
-            # fast path: already a uint8 grayscale batch — one vectorized
-            # conversion for the native-refine input, raw uint8 upload
-            # (4x cheaper over the link); threshold/decode cast on device
-            imgs = raw.astype(np.float32)
-            dev_all = jnp.asarray(raw) if dev_images is None else dev_images
+        if images is None:
+            # fully device-resident batch (e.g. on-device rendering): host
+            # never sees whole images — subpixel refinement runs on small
+            # per-corner patches gathered on device (detect/patches.py)
+            if dev_images is None:
+                raise ValueError("need images or dev_images")
+            device_resident = True
+            imgs = None
+            dev_all = dev_images
         else:
-            imgs = np.stack([_to_gray_f32(im) for im in raw])
-            dev_all = jnp.asarray(imgs) if dev_images is None else dev_images
-        B, H, W = imgs.shape
+            device_resident = False
+            raw = np.asarray(images)
+            if raw.ndim == 3 and raw.dtype == np.uint8:
+                # fast path: uint8 grayscale batch — one vectorized
+                # conversion for the native-refine input, raw uint8 upload
+                # (4x cheaper over the link); threshold/decode cast on device
+                imgs = raw.astype(np.float32)
+                dev_all = jnp.asarray(raw) if dev_images is None else dev_images
+            else:
+                imgs = np.stack([_to_gray_f32(im) for im in raw])
+                dev_all = jnp.asarray(imgs) if dev_images is None else dev_images
+        B, H, W = dev_all.shape
 
         # Software pipeline over fixed-size chunks: every chunk's upload +
         # threshold is enqueued on the device up front (dispatch is async),
@@ -162,17 +229,33 @@ class TagDetector:
                     counts[b] = n
             dev_f32 = dev_chunks[ci]
             dev_sharp = unsharp(dev_f32)  # decode sampling only (see decode.unsharp)
-            imgs_c = imgs[lo : lo + nb]
-            if imgs_c.shape[0] < C:
-                imgs_c = np.concatenate(
-                    [imgs_c, np.repeat(imgs_c[-1:], C - imgs_c.shape[0], axis=0)]
-                )
+            if device_resident:
+                imgs_c = None
+
+                def refine_fn(qds, qframe, total):
+                    return _refine_via_patches(dev_f32, qds, qframe, total)
+
+            else:
+                imgs_c = imgs[lo : lo + nb]
+                if imgs_c.shape[0] < C:
+                    imgs_c = np.concatenate(
+                        [imgs_c, np.repeat(imgs_c[-1:], C - imgs_c.shape[0], axis=0)]
+                    )
+
+                def refine_fn(qds, qframe, total, _imgs=imgs_c):
+                    from .assist import _refine_compact
+
+                    return _refine_compact(_imgs, qds, qframe, total)
+
             if self.refine:
                 # subpixel-refine ALL candidate corners BEFORE decoding:
                 # sharper homographies make bit sampling markedly more
                 # reliable on small/strongly-distorted tags.
                 with stage("detect/refine"):
-                    if self.native_refine:
+                    if self.native_refine and device_resident:
+                        quads = _refine_quads_via_patches(dev_f32, quads, counts)
+                        quads_j = jnp.asarray(quads)
+                    elif self.native_refine:
                         quads = refine_corners_native(
                             imgs_c, quads.reshape(C, -1, 2), counts=counts, group=4
                         ).reshape(quads.shape)
@@ -233,7 +316,7 @@ class TagDetector:
                     # pass the full (padded) chunk so decode shapes stay
                     # static; only the nb real frames appear in the results
                     recover_missing_tags(
-                        self.family, board, imgs_c, dev_sharp, chunk_results
+                        self.family, board, refine_fn, dev_sharp, chunk_results
                     )
             results.extend(chunk_results)
         return results

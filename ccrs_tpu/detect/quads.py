@@ -58,6 +58,13 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n, win, iters
         ]
         lib.refine_corners_native.restype = None
+        lib.refine_corners_patches.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # patches (n,P,P)
+            ctypes.c_int, ctypes.c_int,  # n, P
+            ctypes.POINTER(ctypes.c_float),  # corners_local (n,2) in/out
+            ctypes.c_int, ctypes.c_int,  # win, iters
+        ]
+        lib.refine_corners_patches.restype = None
         _lib = lib
         return lib
 
@@ -140,4 +147,23 @@ def refine_corners_native(
     if counts is None:
         return flat.reshape(B, M, 2)
     out[sel_b, sel_m] = flat
+    return out
+
+
+def refine_corners_patches_native(
+    patches: np.ndarray, local: np.ndarray, win: int = 4, iters: int = 6
+) -> np.ndarray:
+    """Refine patch-local corner coordinates (patches extracted on device;
+    see detect.patches).  patches: (n, P, P) f32; local: (n, 2) f32."""
+    lib = _load()
+    patches = np.ascontiguousarray(patches, dtype=np.float32)
+    out = np.ascontiguousarray(local, dtype=np.float32).copy()
+    n, P, _ = patches.shape
+    if n:
+        lib.refine_corners_patches(
+            patches.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, P,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            win, iters,
+        )
     return out

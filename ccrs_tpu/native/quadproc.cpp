@@ -450,4 +450,67 @@ void refine_corners_native(const float* imgs, int B, int H, int W,
 }
 
 }  // extern "C"
+extern "C" {
+
+// Patch-based variant: each corner refines inside its own small patch
+// (extracted on the accelerator; only ~P*P floats per corner cross the
+// link instead of whole images).  corners are PATCH-LOCAL coordinates,
+// refined in place.
+void refine_corners_patches(const float* patches, int n, int P,
+                            float* corners_local, int win, int iters) {
+    const float sigma = win / 2.0f;
+    const int wsize = 2 * win + 1;
+    std::vector<float> weights((size_t)wsize * wsize);
+    for (int i = -win; i <= win; ++i)
+        for (int j = -win; j <= win; ++j)
+            weights[(i + win) * wsize + (j + win)] =
+                std::exp(-(float)(i * i + j * j) / (2.0f * sigma * sigma));
+
+#pragma omp parallel for schedule(static)
+    for (int c = 0; c < n; ++c) {
+        const float* img = patches + (size_t)c * P * P;
+        float cx = corners_local[2 * c], cy = corners_local[2 * c + 1];
+        const float ox = cx, oy = cy;
+        for (int it = 0; it < iters; ++it) {
+            double a = 0, b = 0, d = 0, bx = 0, by = 0;
+            for (int i = -win; i <= win; ++i) {
+                for (int j = -win; j <= win; ++j) {
+                    float px = cx + j, py = cy + i;
+                    float gx = 0.5f * (bilin(img, P, P, px + 1, py) -
+                                       bilin(img, P, P, px - 1, py));
+                    float gy = 0.5f * (bilin(img, P, P, px, py + 1) -
+                                       bilin(img, P, P, px, py - 1));
+                    float wgt = weights[(i + win) * wsize + (j + win)];
+                    a += wgt * gx * gx;
+                    b += wgt * gx * gy;
+                    d += wgt * gy * gy;
+                    bx += wgt * (gx * gx * px + gx * gy * py);
+                    by += wgt * (gx * gy * px + gy * gy * py);
+                }
+            }
+            double det = a * d - b * b;
+            if (std::fabs(det) < 1e-9) break;
+            double qx = (d * bx - b * by) / det;
+            double qy = (a * by - b * bx) / det;
+            double dx = qx - cx, dy = qy - cy;
+            if (dx > 1) dx = 1;
+            if (dx < -1) dx = -1;
+            if (dy > 1) dy = 1;
+            if (dy < -1) dy = -1;
+            cx += (float)dx;
+            cy += (float)dy;
+        }
+        float tx = cx - ox, ty = cy - oy;
+        float norm = std::sqrt(tx * tx + ty * ty);
+        if (norm > win) {
+            cx = ox + tx * (win / norm);
+            cy = oy + ty * (win / norm);
+        }
+        corners_local[2 * c] = cx;
+        corners_local[2 * c + 1] = cy;
+    }
+}
+
+}  // extern "C"
+
 }  // extern "C" (outer)

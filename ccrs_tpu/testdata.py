@@ -98,8 +98,9 @@ def _render(
     white: float = 220.0, black: float = 35.0, bg: float = 128.0,
 ):
     unproj = unproject_fn(proj_name)
-    # supersampled pixel grid
-    off = (jnp.arange(ss) + 0.5) / ss - 0.5
+    # supersampled pixel grid (keep the offsets in the render dtype — under
+    # x64 a bare arange would silently upcast the whole render to f64)
+    off = ((jnp.arange(ss) + 0.5) / ss - 0.5).astype(params.dtype)
     uu, vv = jnp.meshgrid(
         jnp.arange(width, dtype=params.dtype), jnp.arange(height, dtype=params.dtype)
     )
@@ -173,6 +174,66 @@ def render_board_image(
         rng = np.random.default_rng(seed)
         img = img + rng.normal(size=img.shape) * noise
     return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@partial(jax.jit, static_argnames=("proj_name", "width", "height", "ss"))
+def _render_seq(
+    proj_name, params, poses, tex, ox, oy, scale,
+    width: int, height: int, ss: int, kern, noise, key,
+):
+    def one(pose):
+        return _render(
+            proj_name, params, pose[:3], pose[3:], tex, ox, oy, scale,
+            width, height, ss,
+        )
+
+    imgs = jax.lax.map(one, poses)  # sequential: bounds compile-time memory
+
+    # separable Gaussian PSF (matches render_board_image's host blur)
+    r = kern.shape[0] // 2
+    p = jnp.pad(imgs, ((0, 0), (r, r), (0, 0)), mode="symmetric")
+    imgs = sum(kern[i] * p[:, i : i + height, :] for i in range(kern.shape[0]))
+    p = jnp.pad(imgs, ((0, 0), (0, 0), (r, r)), mode="symmetric")
+    imgs = sum(kern[i] * p[:, :, i : i + width] for i in range(kern.shape[0]))
+
+    imgs = imgs + jax.random.normal(key, imgs.shape, imgs.dtype) * noise
+    # quantize to integer gray levels like a real 8-bit sensor
+    return jnp.round(jnp.clip(imgs, 0, 255))
+
+
+def render_frames_device(
+    model: GenericModel,
+    board: Board,
+    family: TagFamily,
+    poses,
+    ss: int = 3,
+    noise: float = 2.0,
+    seed: int = 0,
+    blur_sigma: float = 0.7,
+):
+    """Render a whole pose sequence ON DEVICE; returns (F, H, W) float32
+    (0..255, integer-quantized) with no host round-trip — feed it to
+    ``TagDetector.detect_batch(None, board, dev_images=...)`` so the only
+    link traffic of the detect stage is thresholded bits + corner patches.
+
+    Rendering runs in f32 (the output is 8-bit-quantized anyway); ground
+    truth still comes from ``gt_corners`` in f64.
+    """
+    tex, (ox, oy), scale = board_pattern_image(board, family)
+    radius = max(1, int(4.0 * blur_sigma + 0.5))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / blur_sigma) ** 2)
+    kern = jnp.asarray(k / k.sum(), jnp.float32)
+    f32 = jnp.float32
+    return _render_seq(
+        model.name,
+        jnp.asarray(model.params, f32),
+        jnp.asarray(poses, f32),
+        tex.astype(f32),
+        f32(ox), f32(oy), f32(scale),
+        int(model.width), int(model.height), ss,
+        kern, f32(noise), jax.random.PRNGKey(seed),
+    )
 
 
 def gt_corners(model: GenericModel, board: Board, rvec, tvec):

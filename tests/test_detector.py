@@ -120,6 +120,50 @@ def test_rotated_image_decodes(synth_view):
         np.testing.assert_allclose(back, base[tid], atol=1.0)
 
 
+def test_device_resident_matches_host(synth_view):
+    """detect_batch(images=None, dev_images=...) (patch-based refinement,
+    no whole-image download) must agree with the host-image path."""
+    img, _, _ = synth_view
+    board = create_default_6x6_board()
+    det = TagDetector("t36h11")
+    imgs = np.stack([img, img]).astype(np.float32)
+    host = det.detect_batch(imgs, board=board)
+    dev = det.detect_batch(None, board=board, dev_images=jnp.asarray(imgs))
+    for h, d in zip(host, dev):
+        assert set(h) == set(d)
+        for tid in h:
+            # uint8 patch quantization perturbs subpixel refinement by a
+            # hair; anything < 0.05 px is far below detector noise
+            np.testing.assert_allclose(d[tid], h[tid], atol=0.05)
+
+
+def test_patch_refine_matches_full_image(synth_view):
+    """Patch-local native refinement == full-image native refinement."""
+    from ccrs_tpu.detect.patches import extract_patches
+    from ccrs_tpu.detect.quads import (
+        refine_corners_native,
+        refine_corners_patches_native,
+    )
+
+    img, p2d, vis = synth_view
+    imgs = np.stack([img, img]).astype(np.float32)
+    sel = np.flatnonzero(vis)[:40]
+    corners = p2d[sel].astype(np.float32) + 0.8  # offset like a raw quad fit
+    qframe = (np.arange(sel.size) % 2).astype(np.int32)
+
+    full = refine_corners_native(
+        imgs, np.stack([corners, corners])[..., :].reshape(2, -1, 2)
+    )
+    full = np.stack([full[f, i] for i, f in enumerate(qframe)])
+
+    patches, local, offset = extract_patches(
+        jnp.asarray(imgs), jnp.asarray(corners), jnp.asarray(qframe)
+    )
+    ref_local = refine_corners_patches_native(np.asarray(patches), np.asarray(local))
+    patched = ref_local + np.asarray(offset)
+    np.testing.assert_allclose(patched, full, atol=1e-4)
+
+
 def test_board_assist_recovers_tags(synth_view):
     from ccrs_tpu.board import create_default_6x6_board
 
