@@ -126,6 +126,200 @@ def make_ba_step(
     return step
 
 
+@lru_cache(maxsize=32)
+def make_multi_ba_solver(
+    project_fn,
+    mesh: Mesh,
+    one_focal: bool = False,
+    huber_delta: float = 1.0,
+    max_iters: int = 60,
+):
+    """Build (and cache) a jitted FULL frame-sharded multi-camera joint BA.
+
+    Semantics match ``solve.lm.ba_solve_multi`` (per-camera intrinsics +
+    extrinsics T_i_0 + shared board poses T_0_b; reference
+    src/util.rs:567-715): board-pose blocks stay device-local and are
+    Schur-eliminated per frame; each iteration reduces one packed
+    (U | Schur correction | rhs | gradient) system of size
+    (2M+2, M), M = C*k + 6C, with a single ``psum`` over the frame axis.
+
+    Returned solve:
+      ``solve(theta0 (C,k), ext0 (C,6), poses0 (F,6), p3d, p2d (C,F,N,2),
+      w (C,F,N), lo, hi, free (C,k), cam_frame_valid (C,F),
+      frame_valid (F,)) -> (theta, ext, poses, cost, iters)``
+    with F-axis arrays sharded over the mesh (pad F to a mesh multiple;
+    padding frames carry frame_valid = 0).
+    """
+    from ..solve.lm import LMOptions, expand_theta, huber_block_weight, huber_cost
+
+    opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta)
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(FRAME_AXIS), P(),
+            P(None, FRAME_AXIS), P(None, FRAME_AXIS),
+            P(), P(), P(), P(None, FRAME_AXIS), P(FRAME_AXIS),
+        ),
+        out_specs=(P(), P(), P(FRAME_AXIS), P(), P()),
+    )
+    def solve(
+        theta0, ext0, poses0, p3d, p2d, w, lo, hi, free, cam_frame_valid,
+        frame_valid,
+    ):
+        C, Floc, N, _ = p2d.shape
+        k = theta0.shape[1]
+        dtype = theta0.dtype
+        M = C * k + C * 6
+        w = w * cam_frame_valid[:, :, None] * frame_valid[None, :, None]
+        ext_free = jnp.concatenate(
+            [jnp.zeros((1, 6), dtype), jnp.ones((C - 1, 6), dtype)], axis=0
+        )
+        full_free = jnp.concatenate([free.reshape(-1), ext_free.reshape(-1)])
+
+        def cam_residual(c, theta_c, e_c, pose_f, p2d_cf):
+            params = expand_theta(theta_c, one_focal)
+            rv, tv = pose_f[:3], pose_f[3:]
+            if c == 0:
+                pc = se3.transform(rv, tv, p3d)
+            else:
+                rvc, tvc = se3.compose(e_c[:3], e_c[3:], rv, tv)
+                pc = se3.transform(rvc, tvc, p3d)
+            proj, _ = project_fn(params, pc)
+            return proj - p2d_cf
+
+        def cost_of(theta, ext, poses):
+            total = jnp.zeros((), dtype)
+            for c in range(C):
+                r = jax.vmap(
+                    lambda pose_f, p2d_cf: cam_residual(
+                        c, theta[c], ext[c], pose_f, p2d_cf
+                    )
+                )(poses, p2d[c])
+                r2 = jnp.sum(r * r, axis=-1)
+                total = total + jnp.sum(w[c] * huber_cost(r2, huber_delta))
+            return jax.lax.psum(total, FRAME_AXIS)
+
+        def body(state):
+            theta, ext, poses, lam, cost, it, done = state
+            # device-local partial sums over this shard's frames
+            U = jnp.zeros((M, M), dtype)
+            g_x = jnp.zeros((M,), dtype)
+            A = jnp.zeros((Floc, 6, 6), dtype)
+            B = jnp.zeros((Floc, M, 6), dtype)
+            g_p = jnp.zeros((Floc, 6), dtype)
+
+            for c in range(C):
+                def rfun(th, e, po, p2d_cf):
+                    return cam_residual(c, th, e, po, p2d_cf)
+
+                def frame_jac(po, p2d_cf):
+                    Jt, Je, Jp = jax.jacfwd(rfun, argnums=(0, 1, 2))(
+                        theta[c], ext[c], po, p2d_cf
+                    )
+                    return rfun(theta[c], ext[c], po, p2d_cf), Jt, Je, Jp
+
+                r, Jt, Je, Jp = jax.vmap(frame_jac)(poses, p2d[c])
+                Jt = Jt * free[c][None, None, None, :]
+                Je = Je * ext_free[c][None, None, None, :]
+                r2 = jnp.sum(r * r, axis=-1)
+                wt = w[c] * huber_block_weight(r2, huber_delta)
+
+                ti = c * k
+                ei = C * k + c * 6
+                Utt = jnp.einsum("fnri,fnrj,fn->ij", Jt, Jt, wt)
+                Uee = jnp.einsum("fnri,fnrj,fn->ij", Je, Je, wt)
+                Ute = jnp.einsum("fnri,fnrj,fn->ij", Jt, Je, wt)
+                U = U.at[ti : ti + k, ti : ti + k].add(Utt)
+                U = U.at[ei : ei + 6, ei : ei + 6].add(Uee)
+                U = U.at[ti : ti + k, ei : ei + 6].add(Ute)
+                U = U.at[ei : ei + 6, ti : ti + k].add(Ute.T)
+                g_x = g_x.at[ti : ti + k].add(
+                    jnp.einsum("fnri,fnr,fn->i", Jt, r, wt)
+                )
+                g_x = g_x.at[ei : ei + 6].add(
+                    jnp.einsum("fnri,fnr,fn->i", Je, r, wt)
+                )
+                A = A + jnp.einsum("fnri,fnrj,fn->fij", Jp, Jp, wt)
+                B = B.at[:, ti : ti + k, :].add(
+                    jnp.einsum("fnri,fnrj,fn->fij", Jt, Jp, wt)
+                )
+                B = B.at[:, ei : ei + 6, :].add(
+                    jnp.einsum("fnri,fnrj,fn->fij", Je, Jp, wt)
+                )
+                g_p = g_p + jnp.einsum("fnri,fnr,fn->fi", Jp, r, wt)
+
+            def try_step(lam):
+                Ad = A + lam * jax.vmap(
+                    lambda a: jnp.diag(jnp.maximum(jnp.diagonal(a), 1e-12))
+                )(A)
+                eye6 = jnp.eye(6, dtype=dtype)
+                Ad = jnp.where(frame_valid[:, None, None] > 0, Ad, eye6)
+                La = jax.vmap(jnp.linalg.cholesky)(Ad)
+                Ainv_Bt = jax.vmap(
+                    lambda L, b: jax.scipy.linalg.cho_solve((L, True), b.T)
+                )(La, B)  # (Floc, 6, M)
+                Ainv_g = jax.vmap(
+                    lambda L, g: jax.scipy.linalg.cho_solve((L, True), g)
+                )(La, g_p)
+                corr_l = jnp.einsum("fij,fjk->ik", B, Ainv_Bt)
+                rhs_l = -(g_x - jnp.einsum("fik,fi->k", Ainv_Bt, g_p))
+                # the one collective per iteration: U | Schur corr | rhs | g
+                packed = jnp.concatenate(
+                    [U, corr_l, rhs_l[None, :], g_x[None, :]], axis=0
+                )
+                packed = jax.lax.psum(packed, FRAME_AXIS)
+                U_tot = packed[:M] + jnp.diag(1.0 - full_free)
+                corr, rhs, g_tot = packed[M : 2 * M], packed[2 * M], packed[2 * M + 1]
+                Ud = U_tot + lam * jnp.diag(
+                    jnp.maximum(jnp.diagonal(U_tot), 1e-12)
+                )
+                S = Ud - corr
+                Ls = jnp.linalg.cholesky(S)
+                dx = jax.scipy.linalg.cho_solve((Ls, True), rhs)
+                dpo = -(Ainv_g + jnp.einsum("fim,m->fi", Ainv_Bt, dx))
+                dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+                dpo = jnp.where(jnp.isfinite(dpo), dpo, 0.0)
+                dth = dx[: C * k].reshape(C, k) * free
+                dex = dx[C * k :].reshape(C, 6) * ext_free
+                th_new = jnp.clip(theta + dth, lo, hi)
+                ex_new = ext + dex
+                po_new = poses + dpo * frame_valid[:, None]
+                return th_new, ex_new, po_new, jnp.max(jnp.abs(g_tot))
+
+            th_new, ex_new, po_new, gmax = try_step(lam)
+            c_new = cost_of(th_new, ex_new, po_new)
+            accept = c_new < cost
+            theta = jnp.where(accept, th_new, theta)
+            ext = jnp.where(accept, ex_new, ext)
+            poses = jnp.where(accept, po_new, poses)
+            lam = jnp.clip(
+                jnp.where(accept, lam * opts.lam_down, lam * opts.lam_up),
+                opts.lam_min,
+                opts.lam_max,
+            )
+            rel_small = cost - c_new <= opts.rtol * jnp.maximum(cost, 1e-300)
+            gsmall = gmax <= 1e-9 * jnp.maximum(cost, 1.0)
+            converged = (accept & rel_small) | gsmall
+            cost = jnp.where(accept, c_new, cost)
+            return theta, ext, poses, lam, cost, it + 1, done | converged
+
+        def cond(state):
+            return (~state[6]) & (state[5] < max_iters)
+
+        theta0 = jnp.clip(theta0, lo, hi)
+        state = (
+            theta0, ext0, poses0, jnp.asarray(opts.lam0, dtype),
+            cost_of(theta0, ext0, poses0), 0, jnp.asarray(False),
+        )
+        theta, ext, poses, _, cost, it, _ = jax.lax.while_loop(cond, body, state)
+        return theta, ext, poses, cost, it
+
+    return solve
+
+
 def ba_step_sharded(
     project_fn,
     theta,

@@ -76,6 +76,55 @@ def test_sharded_iterations_converge():
     np.testing.assert_allclose(np.asarray(theta), gt, rtol=1e-8)
 
 
+def test_sharded_multicam_solve_matches_single_device():
+    """Frame-sharded joint multi-camera BA == single-device ba_solve_multi."""
+    from ccrs_tpu.parallel.mesh import make_multi_ba_solver, sharded_frame_sharding
+    from ccrs_tpu.solve.lm import ba_solve_multi
+
+    gt, p3d, poses_gt, p2d0 = _case(F=16, seed=3)
+    C, F, N = 2, p2d0.shape[0], p2d0.shape[1]
+    ext_gt = np.array([[0, 0, 0, 0, 0, 0], [0.02, -0.015, 0.005, -0.11, 0.002, 0.004]])
+    gt1 = gt * np.array([1.01, 1.005, 0.998, 1.002, 0.97, 1.02])
+    p2d = np.zeros((C, F, N, 2))
+    p2d[0] = p2d0
+    for f in range(F):
+        rv, tv = se3.compose(
+            jnp.asarray(ext_gt[1, :3]), jnp.asarray(ext_gt[1, 3:]),
+            jnp.asarray(poses_gt[f, :3]), jnp.asarray(poses_gt[f, 3:]),
+        )
+        pc = p3d @ np.asarray(se3.exp_so3(rv)).T + np.asarray(tv)
+        p2d[1, f] = np.asarray(project_eucm(jnp.asarray(gt1), jnp.asarray(pc))[0])
+    theta0 = jnp.asarray(np.stack([gt * 1.02, gt1 * 0.98]))
+    ext0 = jnp.asarray(ext_gt + np.array([[0.0] * 6, [2e-3] * 6]))
+    poses0 = jnp.asarray(poses_gt + 0.003)
+    w = jnp.ones((C, F, N))
+    lo = jnp.asarray(np.tile([0.0, 0.0, 0.0, 0.0, 1e-6, 1e-6], (C, 1)))
+    hi = jnp.asarray(np.tile([1e4, 1e4, 512.0, 512.0, 1.0, 10.0], (C, 1)))
+    free = jnp.ones((C, 6))
+    cfv = jnp.ones((C, F))
+    fv = jnp.ones(F)
+
+    ref = ba_solve_multi(
+        project_eucm, theta0, ext0, poses0, jnp.asarray(p3d), jnp.asarray(p2d),
+        w, lo, hi, free, cfv, fv,
+    )
+
+    mesh = make_mesh()
+    solve = make_multi_ba_solver(project_eucm, mesh)
+    sh = sharded_frame_sharding(mesh)
+    th, ex, po, cost, it = solve(
+        theta0, ext0, jax.device_put(poses0, sh), jnp.asarray(p3d),
+        jnp.asarray(p2d), w, lo, hi, free, cfv, jax.device_put(fv, sh),
+    )
+    np.testing.assert_allclose(np.asarray(th), np.asarray(ref.theta), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(ex), np.asarray(ref.ext), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(po), np.asarray(ref.poses), atol=1e-7)
+    # and both recover the ground truth on this noiseless problem
+    np.testing.assert_allclose(np.asarray(th[0]), gt, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(th[1]), gt1, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(ex[1]), ext_gt[1], atol=1e-7)
+
+
 def test_full_sharded_solve_matches_single_device():
     from ccrs_tpu.parallel.mesh import make_ba_solver, sharded_frame_sharding
 
