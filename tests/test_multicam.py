@@ -108,6 +108,44 @@ def test_joint_ba_recovers_stereo_rig():
         np.testing.assert_allclose(board_poses[f].rvec, poses_gt[f, :3], atol=1e-6)
 
 
+def test_mixed_precision_joint_ba_matches_f64():
+    """ba_solve_multi_mixed (f32 bulk + f64 polish) reproduces the pure-f64
+    joint solution on a noisy stereo problem."""
+    from ccrs_tpu.models.projections import project_eucm
+    from ccrs_tpu.solve.lm import ba_solve_multi, ba_solve_multi_mixed
+
+    board, (cam0, cam1), (batch0, batch1), poses_gt, (r10, t10) = _stereo_case(seed=5)
+    F = poses_gt.shape[0]
+    rng = np.random.default_rng(4)
+    C = 2
+    p2d = np.stack([batch0.p2d, batch1.p2d]) + rng.normal(
+        size=(C, F, board.n_corners, 2)
+    ) * 0.1
+    w = np.stack([batch0.mask, batch1.mask]).astype(float)
+    theta0 = jnp.asarray(
+        np.stack([cam0.params, cam1.params]) * (1 + rng.normal(size=(C, 6)) * 0.01)
+    )
+    ext0 = jnp.asarray(
+        np.stack([np.zeros(6), np.concatenate([r10, t10]) + 2e-3])
+    )
+    poses0 = jnp.asarray(poses_gt + rng.normal(size=poses_gt.shape) * 2e-3)
+    lo = jnp.asarray(np.tile([0, 0, 0, 0, 1e-6, 1e-6], (C, 1)), jnp.float64)
+    hi = jnp.asarray(np.tile([1e4, 1e4, 512, 512, 1, 10], (C, 1)), jnp.float64)
+    free = jnp.ones((C, 6))
+    cfv = jnp.asarray((w.sum(2) >= 24).astype(float))
+    fv = jnp.ones(F)
+    args = (
+        project_eucm, theta0, ext0, poses0, jnp.asarray(board.p3d),
+        jnp.asarray(p2d), jnp.asarray(w), lo, hi, free, cfv, fv,
+    )
+    ref = ba_solve_multi(*args)
+    mix = ba_solve_multi_mixed(*args)
+    # same optimum: parameters to ~1e-8 relative, cost to ~1e-10 relative
+    np.testing.assert_allclose(np.asarray(mix.theta), np.asarray(ref.theta), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(mix.ext), np.asarray(ref.ext), atol=1e-7)
+    np.testing.assert_allclose(float(mix.cost), float(ref.cost), rtol=1e-9)
+
+
 def test_joint_ba_stereo_ftheta():
     """BASELINE configs[3]: stereo joint intrinsic+extrinsic, FTHETA."""
     from ccrs_tpu.models.projections import project_ftheta
