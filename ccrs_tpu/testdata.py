@@ -28,7 +28,9 @@ from .models.projections import project_fn, unproject_fn
 from .solve import se3
 
 
-def board_pattern_image(board: Board, family: TagFamily):
+def board_pattern_image(
+    board: Board, family: TagFamily, corner_squares: bool = True
+):
     """Rasterize the board layout into a cell-resolution lookup table.
 
     Returns (tex, origin, scale): tex is a (Hc, Wc) float array of cell
@@ -36,15 +38,25 @@ def board_pattern_image(board: Board, family: TagFamily):
     ``total_size`` cells per tag edge; world (x, y) maps to texel
     ``(x - ox) * scale``, ``(oy - y) * scale``.
     """
+    from fractions import Fraction
+
     cfg = board.config
     T = family.total_size
     s = cfg.tag_size_meter
     pitch = s * (1.0 + cfg.tag_spacing)
-    cell = s / T
+    # Sub-cell rasterization factor: the tag pitch is T*(1+spacing) cells
+    # and the corner squares are spacing*T cells — both must land on the
+    # texel grid EXACTLY or tags render up to half a cell (~px) off their
+    # ground-truth positions (t36h11's T=10 happened to make 0.3*10
+    # integral, which masked this for the default family).
+    frac = Fraction(cfg.tag_spacing * T).limit_denominator(64)
+    sub = min(frac.denominator, 20)
+    cell = s / (T * sub)  # fine texel size (meters)
+    Tf = T * sub  # tag side in texels
     # texture covers [ -pitch*0.5, cols*pitch + 0.5*pitch ] etc. with margin
-    margin_cells = int(np.ceil((pitch - s) / cell)) + T
-    Wc = int(np.ceil((cfg.tag_cols - 1) * pitch / cell)) + T + 2 * margin_cells
-    Hc = int(np.ceil((cfg.tag_rows - 1) * pitch / cell)) + T + 2 * margin_cells
+    margin_cells = int(np.ceil((pitch - s) / cell)) + Tf
+    Wc = int(np.ceil((cfg.tag_cols - 1) * pitch / cell)) + Tf + 2 * margin_cells
+    Hc = int(np.ceil((cfg.tag_rows - 1) * pitch / cell)) + Tf + 2 * margin_cells
     tex = np.ones((Hc, Wc), np.float32)
     ox = -margin_cells * cell
     oy = margin_cells * cell  # world y of texture row 0 (y decreases with row)
@@ -73,13 +85,16 @@ def board_pattern_image(board: Board, family: TagFamily):
                         v = float(bits[i - family.border, jj])
                     else:
                         v = 0.0
-                    tex[ri0 + i, ci0 + j] = v
+                    tex[
+                        ri0 + i * sub : ri0 + (i + 1) * sub,
+                        ci0 + j * sub : ci0 + (j + 1) * sub,
+                    ] = v
     # Kalibr-style corner squares: black squares of side tag_spacing * s in
     # every inter-tag gap intersection (they diagonally touch tag corners —
     # real EuRoC/TUM-VI boards have these, and they turn each tag corner
     # into a checkerboard saddle point).
-    gap_cells = int(round(cfg.tag_spacing * T))
-    if gap_cells > 0:
+    gap_cells = int(round(cfg.tag_spacing * T * sub))
+    if corner_squares and gap_cells > 0:
         for r in range(cfg.tag_rows + 1):
             for c in range(cfg.tag_cols + 1):
                 # square spans [c*pitch - gap, c*pitch] x [-r*pitch, -r*pitch + gap]
@@ -145,13 +160,16 @@ def render_board_image(
     noise: float = 0.0,
     seed: int = 0,
     blur_sigma: float = 0.7,
+    corner_squares: bool = True,
 ):
     """Render one frame; returns (H, W) uint8.
 
     ``blur_sigma`` models the camera PSF (real calibration footage is never
     pixel-sharp; a slight blur also makes bilinear bit sampling behave like
-    it does on real images)."""
-    tex, (ox, oy), scale = board_pattern_image(board, family)
+    it does on real images).  ``corner_squares`` draws the Kalibr-style
+    black squares in the tag gaps (real EuRoC/TUM-VI t36h11 boards have
+    them; classic 1-cell-border prints like t36h11b1 don't)."""
+    tex, (ox, oy), scale = board_pattern_image(board, family, corner_squares)
     img = _render(
         model.name,
         jnp.asarray(model.params),

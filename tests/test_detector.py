@@ -120,6 +120,42 @@ def test_rotated_image_decodes(synth_view):
         np.testing.assert_allclose(back, base[tid], atol=1.0)
 
 
+@pytest.mark.parametrize("famname", ["t16h5", "t25h9", "t36h11b1"])
+def test_other_families_end_to_end(famname):
+    """Every distributable family detects its own rendered board with
+    subpixel accuracy (guards the sub-cell board rasterization: families
+    with non-integral pitch-in-cells rendered ~1 px off before)."""
+    board = create_default_6x6_board()
+    fam = get_family(famname)
+    model = GenericModel(
+        "eucm", [190.9, 190.87, 254.94, 256.86, 0.628, 1.046], 512, 512
+    )
+    base = jnp.asarray(front_view_base())
+    rv, _ = se3.compose(
+        jnp.asarray([0.12, -0.08, 0.04]), jnp.zeros(3), base, jnp.zeros(3)
+    )
+    rvec = np.asarray(rv)
+    R = np.asarray(se3.exp_so3(jnp.asarray(rvec)))
+    t = np.array([0.0, 0.0, 0.5]) - R @ board.p3d.mean(0)
+    img = render_board_image(model, board, fam, rvec, t)
+    p2d, vis = gt_corners(model, board, rvec, t)
+    # production path: board-assisted recovery on (the CLI always has the
+    # board; b1's 1-cell border is ~4 px here and needs the second pass)
+    tags = TagDetector(famname).detect_batch(np.asarray(img)[None], board=board)[0]
+    n_board_tags = min(36, fam.n_codes)
+    assert len(tags) >= 0.75 * n_board_tags, f"{len(tags)}/{n_board_tags}"
+    assert all(0 <= t < n_board_tags for t in tags)
+    errs = np.array(
+        [
+            np.linalg.norm(cs[c] - p2d[tid * 4 + c])
+            for tid, cs in tags.items()
+            for c in range(4)
+            if vis[tid * 4 + c]
+        ]
+    )
+    assert errs.mean() < 0.2, f"mean corner err {errs.mean()}"
+
+
 def test_device_resident_matches_host(synth_view):
     """detect_batch(images=None, dev_images=...) (patch-based refinement,
     no whole-image download) must agree with the host-image path."""
