@@ -38,9 +38,13 @@ def main():
     fam = get_family(args.family)
     tex, (ox, oy), scale = board_pattern_image(board, fam)
     tex = np.asarray(tex)
-    # one cell in meters -> pixels at the requested dpi
+    # one texel in meters -> pixels at the requested dpi.  px_per_cell must
+    # be an integer, so the ACTUAL dpi is adjusted to keep the printed tag
+    # size exact (rounding at texel granularity would otherwise scale the
+    # whole board by several percent).
     cell_m = 1.0 / scale
     px_per_cell = max(1, int(round(cell_m * args.dpi / 0.0254)))
+    dpi_eff = px_per_cell * 0.0254 / cell_m
     img = np.kron(tex, np.ones((px_per_cell, px_per_cell), np.float32))
     # The texture is stored as seen from the camera side (print on the -z
     # board face); flip horizontally so the PRINTED sheet, viewed directly,
@@ -51,12 +55,17 @@ def main():
     import imageio.v3 as iio
 
     iio.imwrite(args.out, out8)
-    print(f"wrote {args.out}: {out8.shape[1]}x{out8.shape[0]} px at {args.dpi} dpi")
+    w_m = out8.shape[1] * 0.0254 / dpi_eff
+    print(
+        f"wrote {args.out}: {out8.shape[1]}x{out8.shape[0]} px; print at "
+        f"{dpi_eff:.2f} dpi for an exact {args.tag_size} m tag "
+        f"({w_m:.3f} m wide)"
+    )
     try:
         from PIL import Image
 
         pdf = os.path.splitext(args.out)[0] + ".pdf"
-        Image.fromarray(out8).save(pdf, resolution=args.dpi)
+        Image.fromarray(out8).save(pdf, resolution=dpi_eff)
         print(f"wrote {pdf}")
     except Exception as e:  # pragma: no cover
         print(f"(pdf skipped: {e})")
