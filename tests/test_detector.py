@@ -156,6 +156,41 @@ def test_other_families_end_to_end(famname):
     assert errs.mean() < 0.2, f"mean corner err {errs.mean()}"
 
 
+def test_non_square_board_with_first_id():
+    """The reference's bundled 5x9 board config (data/board_config5x9.json)
+    plus a nonzero first_id: ids map through board.p3d correctly and no
+    out-of-board ids appear."""
+    from ccrs_tpu.board import Board, BoardConfig
+
+    cfg = BoardConfig(0.088, 0.3, 5, 9, 36)
+    board = Board.from_config(cfg) if hasattr(Board, "from_config") else Board(cfg)
+    fam = get_family("t36h11")
+    model = GenericModel(
+        "eucm", [190.9, 190.87, 254.94, 256.86, 0.628, 1.046], 512, 512
+    )
+    base = jnp.asarray(front_view_base())
+    rv, _ = se3.compose(
+        jnp.asarray([0.1, -0.06, 0.03]), jnp.zeros(3), base, jnp.zeros(3)
+    )
+    rvec = np.asarray(rv)
+    R = np.asarray(se3.exp_so3(jnp.asarray(rvec)))
+    t = np.array([0.0, 0.0, 0.8]) - R @ board.p3d.mean(0)
+    img = render_board_image(model, board, fam, rvec, t)
+    p2d, vis = gt_corners(model, board, rvec, t)
+    dets = TagDetector("t36h11").detect_batch(np.asarray(img)[None], board=board)[0]
+    assert len(dets) >= 0.85 * 45
+    assert all(36 <= tid < 36 + 45 for tid in dets)
+    errs = np.array(
+        [
+            np.linalg.norm(c2 - p2d[(tid - 36) * 4 + c])
+            for tid, cs in dets.items()
+            for c, c2 in enumerate(cs)
+            if vis[(tid - 36) * 4 + c]
+        ]
+    )
+    assert errs.mean() < 0.35  # ~40 px tags at this range
+
+
 def test_device_resident_matches_host(synth_view):
     """detect_batch(images=None, dev_images=...) (patch-based refinement,
     no whole-image download) must agree with the host-image path."""
