@@ -37,32 +37,58 @@ def _tag_corner_xy(board: Board, tag_local: int) -> np.ndarray:
 
 def _fit_h(src: np.ndarray, dst: np.ndarray):
     """DLT homography src(board xy) -> dst(pixels); None if degenerate."""
-    n = src.shape[0]
-    if n < 4:
-        return None
-    sm, ss = src.mean(0), src.std() + 1e-12
-    dm, ds = dst.mean(0), dst.std() + 1e-12
-    s = (src - sm) / ss
-    d = (dst - dm) / ds
-    A = np.zeros((2 * n, 9))
-    A[0::2, 0:2] = s
-    A[0::2, 2] = 1
-    A[0::2, 6:8] = -d[:, :1] * s
-    A[0::2, 8] = -d[:, 0]
-    A[1::2, 3:5] = s
-    A[1::2, 5] = 1
-    A[1::2, 6:8] = -d[:, 1:2] * s
-    A[1::2, 8] = -d[:, 1]
+    H, ok = _fit_h_batch(src[None], dst[None])
+    return H[0] if ok[0] else None
+
+
+def _fit_h_batch(src: np.ndarray, dst: np.ndarray):
+    """Batched DLT: src/dst (Q, n, 2) -> (H (Q, 3, 3), valid (Q,)).
+
+    One LAPACK call over the whole candidate set — the per-candidate
+    python/SVD loop was the assist pass's main host cost at 128 frames.
+    """
+    Q, n, _ = src.shape
+    sm = src.mean(1)  # (Q,2)
+    ss = src.reshape(Q, -1).std(1) + 1e-12
+    dm = dst.mean(1)
+    ds = dst.reshape(Q, -1).std(1) + 1e-12
+    s = (src - sm[:, None]) / ss[:, None, None]
+    d = (dst - dm[:, None]) / ds[:, None, None]
+    A = np.zeros((Q, 2 * n, 9))
+    A[:, 0::2, 0:2] = s
+    A[:, 0::2, 2] = 1
+    A[:, 0::2, 6:8] = -d[:, :, :1] * s
+    A[:, 0::2, 8] = -d[:, :, 0]
+    A[:, 1::2, 3:5] = s
+    A[:, 1::2, 5] = 1
+    A[:, 1::2, 6:8] = -d[:, :, 1:2] * s
+    A[:, 1::2, 8] = -d[:, :, 1]
     try:
         _, sv, Vt = np.linalg.svd(A, full_matrices=False)
-    except np.linalg.LinAlgError:
-        return None
-    if sv[-2] < 1e-10:
-        return None
-    Hn = Vt[-1].reshape(3, 3)
-    Ts = np.array([[1 / ss, 0, -sm[0] / ss], [0, 1 / ss, -sm[1] / ss], [0, 0, 1]])
-    Td = np.array([[ds, 0, dm[0]], [0, ds, dm[1]], [0, 0, 1]])
-    return Td @ Hn @ Ts
+        bad = np.zeros(Q, bool)
+    except np.linalg.LinAlgError:  # pragma: no cover - per-item fallback
+        sv = np.zeros((Q, 9))
+        Vt = np.zeros((Q, 9, 9))
+        bad = np.ones(Q, bool)
+        for q in range(Q):
+            try:
+                _, sv[q], Vt[q] = np.linalg.svd(A[q], full_matrices=False)
+                bad[q] = False
+            except np.linalg.LinAlgError:
+                pass
+    valid = (~bad) & (sv[:, -2] >= 1e-10)
+    Hn = Vt[:, -1].reshape(Q, 3, 3)
+    Ts = np.zeros((Q, 3, 3))
+    Ts[:, 0, 0] = Ts[:, 1, 1] = 1.0 / ss
+    Ts[:, 0, 2] = -sm[:, 0] / ss
+    Ts[:, 1, 2] = -sm[:, 1] / ss
+    Ts[:, 2, 2] = 1.0
+    Td = np.zeros((Q, 3, 3))
+    Td[:, 0, 0] = Td[:, 1, 1] = ds
+    Td[:, 0, 2] = dm[:, 0]
+    Td[:, 1, 2] = dm[:, 1]
+    Td[:, 2, 2] = 1.0
+    return Td @ Hn @ Ts, valid
 
 
 def _apply_h(H, pts):
@@ -90,43 +116,55 @@ def recover_missing_tags(
     n_tags = board.n_tags
     centers = board.p3d.reshape(n_tags, 4, 3)[:, :, :2].mean(1)
 
-    cand = []  # (frame, tag_id, quad (4,2))
+    corners_xy = board.p3d.reshape(n_tags, 4, 3)[:, :, :2]  # (n_tags, 4, 2)
+    src_l, dst_l, tgt_l, frame_l = [], [], [], []
     for b, dets in enumerate(results):
         local = {t - first: c for t, c in dets.items() if 0 <= t - first < n_tags}
         if len(local) < MIN_TAGS_FOR_ASSIST or len(local) == n_tags:
             continue
         det_ids = np.array(sorted(local))
-        for t in range(n_tags):
-            if t in local:
-                continue
-            d2 = ((centers[det_ids] - centers[t]) ** 2).sum(1)
-            near = det_ids[np.argsort(d2)[:N_NEIGHBORS]]
-            src = np.concatenate([_tag_corner_xy(board, int(u)) for u in near])
-            dst = np.concatenate([local[int(u)] for u in near])
-            Hm = _fit_h(src, dst)
-            if Hm is None:
-                continue
-            quad = _apply_h(Hm, _tag_corner_xy(board, t))
-            # decode expects clockwise traversal in image coordinates (the
-            # Kalibr board-corner order comes out counter-clockwise)
-            area2 = np.dot(quad[:, 0], np.roll(quad[:, 1], -1)) - np.dot(
-                np.roll(quad[:, 0], -1), quad[:, 1]
-            )
-            if area2 < 0:
-                quad = quad[::-1]
-            if (
-                quad[:, 0].min() < 1 or quad[:, 1].min() < 1
-                or quad[:, 0].max() > W - 2 or quad[:, 1].max() > H - 2
-            ):
-                continue
-            # degenerate/too-small predictions are not worth decoding
-            area = 0.5 * abs(
-                np.dot(quad[:, 0], np.roll(quad[:, 1], -1))
-                - np.dot(np.roll(quad[:, 0], -1), quad[:, 1])
-            )
-            if area < 49:
-                continue
-            cand.append((b, t + first, quad.astype(np.float32)))
+        det_corners = np.stack([local[int(u)] for u in det_ids])  # (nd, 4, 2)
+        missing = np.setdiff1d(np.arange(n_tags), det_ids)
+        # 4 nearest decoded tags per missing tag, ascending distance
+        d2 = ((centers[det_ids][None] - centers[missing][:, None]) ** 2).sum(-1)
+        near = np.argsort(d2, axis=1)[:, :N_NEIGHBORS]  # (nm, k) into det_ids
+        src_l.append(corners_xy[det_ids[near]].reshape(len(missing), -1, 2))
+        dst_l.append(det_corners[near].reshape(len(missing), -1, 2))
+        tgt_l.append(missing)
+        frame_l.append(np.full(len(missing), b, np.int32))
+    if not src_l:
+        return 0
+    src = np.concatenate(src_l)  # (Q, 4k, 2)
+    dst = np.concatenate(dst_l)
+    tgt = np.concatenate(tgt_l)  # (Q,) local tag index
+    frm = np.concatenate(frame_l)
+
+    Hm, ok = _fit_h_batch(src, dst)  # one batched SVD for all candidates
+    quad = np.einsum("qij,qnj->qni", Hm[:, :, :2], corners_xy[tgt]) + Hm[
+        :, None, :, 2
+    ]
+    zq = quad[:, :, 2]
+    zq = np.where(np.abs(zq) > 1e-12, zq, 1e-12)
+    quad = quad[:, :, :2] / zq[:, :, None]  # (Q, 4, 2)
+    # decode expects clockwise traversal in image coordinates (the Kalibr
+    # board-corner order comes out counter-clockwise)
+    x, y = quad[:, :, 0], quad[:, :, 1]
+    area2 = np.einsum("qn,qn->q", x, np.roll(y, -1, 1)) - np.einsum(
+        "qn,qn->q", np.roll(x, -1, 1), y
+    )
+    quad = np.where((area2 < 0)[:, None, None], quad[:, ::-1], quad)
+    ok &= (
+        (quad[:, :, 0].min(1) >= 1)
+        & (quad[:, :, 1].min(1) >= 1)
+        & (quad[:, :, 0].max(1) <= W - 2)
+        & (quad[:, :, 1].max(1) <= H - 2)
+        # degenerate/too-small predictions are not worth decoding
+        & (0.5 * np.abs(area2) >= 49)
+    )
+    cand = [
+        (int(frm[q]), int(tgt[q]) + first, quad[q].astype(np.float32))
+        for q in np.flatnonzero(ok)
+    ]
     if not cand:
         return 0
 
