@@ -29,6 +29,12 @@ FRAME_AXIS = "frames"
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devs)} device(s) visible "
+                f"on platform {devs[0].platform!r}; set "
+                "--xla_force_host_platform_device_count (CPU) or run on a slice"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (FRAME_AXIS,))
 
