@@ -36,6 +36,8 @@ def run():
     import jax
     import jax.random as jr
 
+    from ccrs_tpu.utils import profiling
+
     from ccrs_tpu.board import create_default_6x6_board
     from ccrs_tpu.calib import init_and_calibrate_one_camera, validation
     from ccrs_tpu.calib.frames import FrameBatch
@@ -105,13 +107,21 @@ def run():
     print(f"warmup: {warm:.1f}s", file=sys.stderr)
 
     # timed runs: best of 3 (the remote-TPU link has high latency variance)
+    profiling.enable()
     elapsed = float("inf")
+    stages = {}
     for rep in range(3):
+        profiling.reset()
         t0 = time.perf_counter()
         batch, (model, rtvecs) = pipeline(jr.PRNGKey(1))
         dt = time.perf_counter() - t0
         print(f"timed run {rep}: {dt:.2f}s", file=sys.stderr)
-        elapsed = min(elapsed, dt)
+        if dt < elapsed:
+            elapsed = dt
+            stages = profiling.totals()
+    profiling.reset()
+    for name in sorted(stages, key=lambda k: -stages[k]):
+        print(f"  stage {name:24s} {stages[name]:7.3f}s", file=sys.stderr)
 
     # correctness gate
     with contextlib.redirect_stdout(sys.stderr):
@@ -130,6 +140,8 @@ def run():
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
+        "warmup_sec": round(warm, 1),
+        "stages_sec": {k: round(v, 3) for k, v in sorted(stages.items())},
     }
 
 

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..board import Board
 from ..models import GenericModel
+from ..utils.profiling import stage
 from ..types import CalibParams, RvecTvec
 from .convert import convert_model
 from .frames import FrameBatch
@@ -43,21 +44,23 @@ def init_and_calibrate_one_camera(
     log.info("init frames: %d, %d", frame0, frame1)
 
     initial_camera = None
-    for i in range(MAX_INIT_ATTEMPTS):
-        key, sub = jax.random.split(key)
-        initial_camera = try_init_camera(
-            board, batch, frame0, frame1, sub, calib_params.fixed_focal
-        )
-        if initial_camera is not None:
-            break
-        log.info("initialization attempt %d failed, retrying", i)
+    with stage("calib/init"):
+        for i in range(MAX_INIT_ATTEMPTS):
+            key, sub = jax.random.split(key)
+            initial_camera = try_init_camera(
+                board, batch, frame0, frame1, sub, calib_params.fixed_focal
+            )
+            if initial_camera is not None:
+                break
+            log.info("initialization attempt %d failed, retrying", i)
     if initial_camera is None or initial_camera.params[0] == 0.0:
         log.warning("calibration failed: could not initialize UCM")
         return None
 
     final_model = target_model.copy()
     final_model.set_w_h(round(initial_camera.width), round(initial_camera.height))
-    convert_model(initial_camera, final_model, calib_params.disabled_distortion_num)
+    with stage("calib/convert"):
+        convert_model(initial_camera, final_model, calib_params.disabled_distortion_num)
     log.info("converted to %s: %s", final_model.name, final_model.params)
 
     if calib_params.fixed_focal is not None:
@@ -68,14 +71,15 @@ def init_and_calibrate_one_camera(
     else:
         one_focal, fixed_focal = calib_params.one_focal, False
 
-    result = calib_camera(
-        board,
-        batch,
-        final_model,
-        xy_same_focal=one_focal,
-        disabled_distortions=calib_params.disabled_distortion_num,
-        fixed_focal=fixed_focal,
-    )
+    with stage("calib/ba"):
+        result = calib_camera(
+            board,
+            batch,
+            final_model,
+            xy_same_focal=one_focal,
+            disabled_distortions=calib_params.disabled_distortion_num,
+            fixed_focal=fixed_focal,
+        )
     if result is None:
         return None
     # Sanity gate (improvement over the reference, which only retries on
@@ -88,7 +92,8 @@ def init_and_calibrate_one_camera(
     from .validate import reprojection_errors
 
     model, rtvecs = result
-    per_frame = reprojection_errors(board, batch, model, rtvecs)
+    with stage("calib/sanity-gate"):
+        per_frame = reprojection_errors(board, batch, model, rtvecs)
     if per_frame:
         errs = np.concatenate([e for _, e, _ in per_frame])
         med = float(np.median(errs))

@@ -44,6 +44,23 @@ def report() -> str:
     return "\n".join(lines)
 
 
+def reset() -> None:
+    """Clear accumulated stage totals (e.g. after a warmup run)."""
+    _totals.clear()
+    _counts.clear()
+
+
+def totals() -> dict:
+    """Snapshot of accumulated stage wall-clock seconds."""
+    return dict(_totals)
+
+
+def enable() -> None:
+    """Turn stage timing on programmatically (bench uses this)."""
+    global _ENABLED
+    _ENABLED = True
+
+
 if _ENABLED:  # pragma: no cover
     atexit.register(lambda: print(report()))
 
