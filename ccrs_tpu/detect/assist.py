@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..board import Board
-from .decode import decode_quads_compact
 from .families import TagFamily
 
 ASSIST_EXTRA_HAMMING = 2
@@ -97,21 +96,13 @@ def _apply_h(H, pts):
     return p[:, :2] / z
 
 
-def recover_missing_tags(
-    family: TagFamily,
-    board: Board,
-    refine_fn,
-    dev_imgs_f32,
-    results: List[Dict[int, np.ndarray]],
-) -> int:
-    """Augment ``results`` in place; returns the number of recovered tags.
+def assist_candidates(board: Board, results: List[Dict[int, np.ndarray]],
+                      W: int, H: int):
+    """Host half 1: predict quads for missing tags from decoded neighbors.
 
-    ``refine_fn(quads (Q,4,2), qframe (Q,), total) -> refined (Q,4,2)``
-    subpixel-refines the predicted corners — the detector supplies either
-    the host full-image kernel (``_refine_compact``) or the device
-    patch-gather path when frames are device-resident.
-    """
-    B, H, W = dev_imgs_f32.shape
+    Returns (cand, quads, qframe, qvalid) where cand is a list of
+    (frame, expected_tag_id, quad) and the arrays are bucketed to a static
+    decode shape — or (None, ...) when no frame has work to do."""
     first = board.config.first_id
     n_tags = board.n_tags
     centers = board.p3d.reshape(n_tags, 4, 3)[:, :, :2].mean(1)
@@ -133,7 +124,7 @@ def recover_missing_tags(
         tgt_l.append(missing)
         frame_l.append(np.full(len(missing), b, np.int32))
     if not src_l:
-        return 0
+        return None, None, None, None
     src = np.concatenate(src_l)  # (Q, 4k, 2)
     dst = np.concatenate(dst_l)
     tgt = np.concatenate(tgt_l)  # (Q,) local tag index
@@ -166,11 +157,10 @@ def recover_missing_tags(
         for q in np.flatnonzero(ok)
     ]
     if not cand:
-        return 0
+        return None, None, None, None
 
-    # refine all predicted corners on the image, then decode the compact
-    # candidate list in one device call (bucketed to a static size;
-    # grow-only so boundary-hovering counts don't flap the compiled shape)
+    # bucket the compact candidate list to a static decode shape
+    # (grow-only so boundary-hovering counts don't flap the compiled shape)
     global _BUCKET
     total = len(cand)
     while _BUCKET < total:
@@ -183,12 +173,18 @@ def recover_missing_tags(
         quads[i] = q
         qframe[i] = b
         qvalid[i] = True
+    return cand, quads, qframe, qvalid
 
-    refined = refine_fn(quads, qframe, total)
-    out = decode_quads_compact(
-        family, dev_imgs_f32, jnp.asarray(refined), jnp.asarray(qframe),
-        jnp.asarray(qvalid),
-    )
+
+def assist_merge(
+    family: TagFamily,
+    cand,
+    out,
+    results: List[Dict[int, np.ndarray]],
+) -> int:
+    """Host half 2: accept decoded candidates whose id matches the
+    prediction (within the relaxed hamming budget); augments ``results``
+    in place and returns the number of recovered tags."""
     tag_id = np.asarray(out["tag_id"])
     hamming = np.asarray(out["hamming"])
     corners = np.asarray(out["corners"])
@@ -203,24 +199,29 @@ def recover_missing_tags(
     return recovered
 
 
-def _refine_compact(imgs_f32, quads, qframe, total):
-    """Subpixel-refine a compact (Q,4,2) quad list via the native kernel."""
-    from .quads import _load
-    import ctypes
+def recover_missing_tags(
+    family: TagFamily,
+    board: Board,
+    images,
+    results: List[Dict[int, np.ndarray]],
+    do_refine: bool = True,
+) -> int:
+    """Predict + refine + decode + merge in one step (convenience wrapper;
+    the detector calls the two halves itself so the fused device call can
+    be enqueued asynchronously across chunks).
 
-    lib = _load()
-    images = np.ascontiguousarray(imgs_f32, dtype=np.float32)
+    ``images``: (B, H, W) device array of ORIGINAL frames (uint8 or f32).
+    """
+    from .decode import refine_decode_fused
+
     B, H, W = images.shape
-    flat = np.ascontiguousarray(quads[:total].reshape(-1, 2), np.float32).copy()
-    idx = np.repeat(qframe[:total], 4).astype(np.int32)
-    if flat.shape[0]:
-        lib.refine_corners_native(
-            images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            B, H, W,
-            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            flat.shape[0], 4, 6,
-        )
-    out = quads.copy()
-    out[:total] = flat.reshape(-1, 4, 2)
-    return out
+    cand, quads, qframe, qvalid = assist_candidates(board, results, W, H)
+    if cand is None:
+        return 0
+    out = refine_decode_fused(
+        family, images, jnp.asarray(quads), jnp.asarray(qframe),
+        jnp.asarray(qvalid), do_refine=do_refine,
+    )
+    return assist_merge(family, cand, out, results)
+
+

@@ -134,23 +134,10 @@ def _sample_grids(family: TagFamily):
     )
 
 
-@partial(jax.jit, static_argnames=("family",))
-def decode_quads_compact(family: TagFamily, images, quads, qframe, qvalid):
-    """Decode a COMPACT quad list (padded to a static bucket size).
+def _decode_core(family: TagFamily, images, quads, qframe, qvalid):
+    """Decode a compact quad list (traceable; see decode_quads_compact).
 
-    The per-frame (B, K) layout wastes most of its rows on padding (K is
-    sized for the worst frame); compacting to (Q, 4, 2) + frame indices
-    cuts the gather-bound bit sampling ~3x.
-
-    Args:
-      images: (B, H, W) f32.
-      quads: (Q, 4, 2) corners; rows past the real count are padding.
-      qframe: (Q,) int32 frame index per quad.
-      qvalid: (Q,) bool padding mask.
-
-    Returns dict of (Q,) tag_id / rotation / hamming / valid and (Q, 4, 2)
-    canonical corners.
-    """
+    ``images`` must already be decode-ready (sharpened, f32)."""
     data_uv, black_uv, white_uv = _sample_grids(family)
     codes = jnp.asarray(family.rotated_codes, dtype=jnp.float32)
     nbits = codes.shape[1]
@@ -205,68 +192,58 @@ def decode_quads_compact(family: TagFamily, images, quads, qframe, qvalid):
 
 
 @partial(jax.jit, static_argnames=("family",))
-def decode_quads(family: TagFamily, images, quads, counts):
-    """Decode all candidate quads.
+def decode_quads_compact(family: TagFamily, images, quads, qframe, qvalid):
+    """Decode a COMPACT quad list (padded to a static bucket size).
+
+    A per-frame (B, K) layout would waste most of its rows on padding (K
+    sized for the worst frame); compacting to (Q, 4, 2) + frame indices
+    cuts the gather-bound bit sampling ~3x.
 
     Args:
-      family: static TagFamily.
-      images: (B, H, W) float32 grayscale (0..255).
-      quads: (B, K, 4, 2) float32 corners (clockwise, arbitrary start).
-      counts: (B,) int32 valid quad counts.
+      images: (B, H, W) f32, already sharpened for bit sampling (unsharp).
+      quads: (Q, 4, 2) corners; rows past the real count are padding.
+      qframe: (Q,) int32 frame index per quad.
+      qvalid: (Q,) bool padding mask.
 
-    Returns dict of (B, K) arrays: tag_id, rotation, hamming, valid,
-    plus corners_canonical (B, K, 4, 2) with corner 0 = tag's canonical
-    top-left (board corner id tag*4+0).
+    Returns dict of (Q,) tag_id / rotation / hamming / valid and (Q, 4, 2)
+    canonical corners (corner 0 = tag's canonical top-left, board corner
+    id tag*4+0; see the KALIBR_PERM note in _decode_core).
     """
-    data_uv, black_uv, white_uv = _sample_grids(family)
-    codes = jnp.asarray(family.rotated_codes, dtype=jnp.float32)  # (4n, nbits)
-    nbits = codes.shape[1]
+    return _decode_core(family, images, quads, qframe, qvalid)
 
-    def per_image(img, img_quads):
-        def per_quad(quad):
-            Hm = _unit_square_homography(quad)
-            dpix = _bilinear(img, _apply_h(Hm, data_uv)).reshape(-1, 9)
-            dpix = jnp.mean(dpix, axis=1)  # average 3x3 subsamples per cell
-            bpix = _bilinear(img, _apply_h(Hm, black_uv))
-            wpix = _bilinear(img, _apply_h(Hm, white_uv))
-            black = jnp.mean(bpix)
-            white = jnp.mean(wpix)
-            thr = 0.5 * (black + white)
-            bits = jnp.where(dpix > thr, 1.0, -1.0)
-            contrast_ok = (white - black) > MIN_DECODE_CONTRAST
-            return bits, contrast_ok
 
-        bits, contrast_ok = jax.vmap(per_quad)(img_quads)  # (K,nbits),(K,)
-        scores = bits @ codes.T  # (K, 4n)  — MXU
-        best = jnp.argmax(scores, axis=1)
-        hamming = ((nbits - scores[jnp.arange(bits.shape[0]), best]) / 2).astype(
-            jnp.int32
-        )
-        return best, hamming, contrast_ok
+@partial(jax.jit, static_argnames=("family", "do_refine"))
+def refine_decode_fused(
+    family: TagFamily, images, quads, qframe, qvalid, do_refine: bool = True
+):
+    """ONE device graph for the whole post-threshold detect path:
+    patch gather -> subpixel corner refine -> unsharp -> bit-sample decode.
 
-    best, hamming, contrast_ok = jax.vmap(per_image)(images, quads)
-    tag_id = best // 4
-    rotation = best % 4
-    K = quads.shape[1]
-    in_range = jnp.arange(K)[None, :] < counts[:, None]
-    valid = in_range & contrast_ok & (hamming <= family.max_hamming)
+    The remote-TPU link pays ~30 ms latency per synchronous round trip
+    (measured), so the detector's former sequence — download patches, host
+    subpixel refine, upload refined quads, decode — cost 3+ round trips
+    per chunk.  Fusing everything into one jit leaves a single dispatch
+    whose only downloads are the (Q,)-sized decode outputs.
 
-    # canonical corner order: detected view index v shows canonical corner
-    # (v + k) mod 4 when the sampled grid matched rotation k; so canonical
-    # corner c = detected corner (c - k) mod 4.  On top of that, the
-    # board-frame corner convention of Kalibr-printed AprilGrids maps board
-    # corner c (id tag*4+c, src/board.rs:46-95) to pattern-canonical corner
-    # KALIBR_PERM[c] — determined empirically on the reference's real
-    # EuRoC/TUM-VI frames (PnP transfer error 0.0009 with this permutation
-    # vs ~0.1 for every alternative).
-    kalibr_perm = jnp.asarray([1, 0, 3, 2])
-    c = kalibr_perm[None, None, :]
-    idx = (c - rotation[:, :, None]) % 4  # (B,K,4)
-    corners_canonical = jnp.take_along_axis(quads, idx[..., None], axis=2)
-    return {
-        "tag_id": tag_id,
-        "rotation": rotation,
-        "hamming": hamming,
-        "valid": valid,
-        "corners": corners_canonical,
-    }
+    Args:
+      images: (B, H, W) uint8/f32 ORIGINAL (un-sharpened) frames; the
+        decode-sampling unsharp mask is applied inside.
+      quads / qframe / qvalid: compact candidate list as in
+        decode_quads_compact.
+
+    Returns the decode dict plus "quads": the refined (Q, 4, 2) corners
+    in traversal order (assist reuses them for its own bookkeeping).
+    """
+    from .patches import extract_patches
+    from .refine import refine_patches
+
+    images = images.astype(jnp.float32)
+    if do_refine:
+        corners = quads.reshape(-1, 2)
+        cframe = jnp.repeat(qframe.astype(jnp.int32), 4)
+        patches, local, offset = extract_patches(images, corners, cframe)
+        refined = refine_patches(patches, local) + offset
+        quads = refined.reshape(quads.shape)
+    out = _decode_core(family, unsharp(images), quads, qframe, qvalid)
+    out["quads"] = quads
+    return out

@@ -7,9 +7,23 @@ batch-first: ``detect_batch`` processes a whole frame sequence through the
 three-stage pipeline
 
   device: adaptive threshold  ->  host/native: quad extraction (C++)
-      ->  device: homography decode + code match + subpixel refine
+      ->  device: ONE fused graph (patch refine + unsharp + decode)
 
 ``detect`` on a single image is a convenience wrapper over the batch path.
+
+Latency architecture: the remote-TPU link costs ~30 ms per synchronous
+round trip, so the batch path is phased to keep at most three syncs per
+chunk and to overlap host work with device work:
+
+  phase 1 (per chunk): download the packed threshold bitmaps (device work
+    for ALL chunks was enqueued up front), run the native C++ quad
+    extraction, and ENQUEUE the fused refine+decode graph — its result is
+    not fetched yet, so the device decodes chunk i while the host extracts
+    quads of chunk i+1;
+  phase 2 (per chunk): fetch decode outputs (already computed in the
+    background), build per-frame results, and enqueue the board-assisted
+    recovery decode the same way;
+  phase 3 (per chunk): fetch + merge assist results.
 """
 
 from __future__ import annotations
@@ -20,67 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.profiling import stage
-from .decode import decode_quads_compact, unsharp
+from .decode import refine_decode_fused
 from .families import TagFamily, get_family
-from .quads import MAX_QUADS, extract_quads_batch, refine_corners_native
-from .refine import refine_corners
-from .threshold import adaptive_threshold, adaptive_threshold_packed2, pad_to_tile
-
-
-_PATCH_BUCKET = [2048]  # grow-only corner-count bucket for extract_patches
-# (same rationale as TagDetector._bucket: a corner count hovering at a
-# power-of-two boundary must not flap the compiled gather shape)
-
-
-def _refine_via_patches(dev_f32, quads, qframe, total):
-    """Patch-based subpixel refinement for a compact (Q,4,2) quad list.
-
-    Device-resident variant of assist._refine_compact: PxP neighborhoods
-    are gathered on device (detect/patches.py) and only those uint8
-    patches cross the link (~0.3 KB/corner) instead of whole frames.
-    """
-    from .patches import extract_patches
-    from .quads import refine_corners_patches_native
-
-    if total == 0:
-        return quads
-    n = total * 4
-    while _PATCH_BUCKET[0] < n:
-        _PATCH_BUCKET[0] *= 2
-    bucket = _PATCH_BUCKET[0]
-    corners = np.zeros((bucket, 2), np.float32)
-    corners[:n] = quads[:total].reshape(-1, 2)
-    qf = np.zeros(bucket, np.int32)
-    qf[:n] = np.repeat(np.asarray(qframe[:total]), 4)
-    patches, local, offset = extract_patches(
-        dev_f32, jnp.asarray(corners), jnp.asarray(qf), as_u8=True
-    )
-    # download the full (static-shape) bucket and slice on host — a [:n]
-    # device slice would compile a fresh kernel per distinct n
-    refined_local = refine_corners_patches_native(
-        np.asarray(patches)[:n].astype(np.float32), np.asarray(local)[:n]
-    )
-    out = quads.copy()
-    out[:total] = (refined_local + np.asarray(offset)[:n]).reshape(-1, 4, 2)
-    return out
-
-
-def _refine_quads_via_patches(dev_f32, quads, counts):
-    """Patch-based refinement over a padded (C, K, 4, 2) quad buffer."""
-    C, K = quads.shape[:2]
-    n_real = np.minimum(np.asarray(counts), K)
-    sel_b = np.repeat(np.arange(C), n_real)
-    sel_k = np.concatenate(
-        [np.arange(n) for n in n_real] or [np.zeros(0, np.int64)]
-    ).astype(np.int64)
-    total = sel_b.shape[0]
-    if total == 0:
-        return quads
-    compact = np.ascontiguousarray(quads[sel_b, sel_k], np.float32)
-    refined = _refine_via_patches(dev_f32, compact, sel_b.astype(np.int32), total)
-    out = quads.copy()
-    out[sel_b, sel_k] = refined
-    return out
+from .quads import MAX_QUADS, extract_quads_batch
+from .threshold import adaptive_threshold_packed2, pad_to_tile
 
 
 def _to_gray_f32(img: np.ndarray) -> np.ndarray:
@@ -100,6 +57,36 @@ def _to_gray_f32(img: np.ndarray) -> np.ndarray:
     return img
 
 
+def _dedup_levels(q1, c1, q2, c2, max_quads):
+    """Merge the two erosion levels' quads, dropping level-2 quads whose
+    center falls within 0.7x an existing level-1 quad's mean radius
+    (duplicates of the same tag blob; vectorized per frame)."""
+    C = q1.shape[0]
+    quads = np.zeros((C, max_quads, 4, 2), np.float32)
+    counts = np.zeros(C, np.int32)
+    for b in range(C):
+        n1 = int(c1[b])
+        quads[b, :n1] = q1[b, :n1]
+        n = n1
+        n2 = int(c2[b])
+        if n2:
+            if n1:
+                cen1 = q1[b, :n1].mean(axis=1)  # (n1,2)
+                rad1 = np.linalg.norm(q1[b, :n1] - cen1[:, None, :], axis=-1).mean(
+                    axis=1
+                )
+                cen2 = q2[b, :n2].mean(axis=1)  # (n2,2)
+                d = np.linalg.norm(cen1[None, :, :] - cen2[:, None, :], axis=-1)
+                keep = ~((d < 0.7 * rad1[None, :]).any(axis=1))
+            else:
+                keep = np.ones(n2, bool)
+            extra = q2[b, :n2][keep][: max_quads - n]
+            quads[b, n : n + extra.shape[0]] = extra
+            n += extra.shape[0]
+        counts[b] = n
+    return quads, counts
+
+
 class TagDetector:
     """AprilGrid tag detector.
 
@@ -113,13 +100,13 @@ class TagDetector:
         family="t36h11",
         refine: bool = True,
         max_quads: int = MAX_QUADS,
-        native_refine: bool = True,
+        native_refine: bool = True,  # kept for API compat; refinement now
+        # always runs inside the fused device graph
     ):
         self.family: TagFamily = (
             family if isinstance(family, TagFamily) else get_family(family)
         )
         self.refine = refine
-        self.native_refine = native_refine
         self.max_quads = max_quads
         self.chunk = 64  # pipeline chunk (see detect_batch)
         self._bucket = 256  # sticky decode bucket (grows, never shrinks —
@@ -146,32 +133,24 @@ class TagDetector:
           ids tag*4 + {0,1,2,3}).
         """
         if images is None:
-            # fully device-resident batch (e.g. on-device rendering): host
-            # never sees whole images — subpixel refinement runs on small
-            # per-corner patches gathered on device (detect/patches.py)
             if dev_images is None:
                 raise ValueError("need images or dev_images")
-            device_resident = True
-            imgs = None
+            dev_all = dev_images
+        elif dev_images is not None:
             dev_all = dev_images
         else:
-            device_resident = False
             raw = np.asarray(images)
             if raw.ndim == 3 and raw.dtype == np.uint8:
-                # fast path: uint8 grayscale batch — one vectorized
-                # conversion for the native-refine input, raw uint8 upload
-                # (4x cheaper over the link); threshold/decode cast on device
-                imgs = raw.astype(np.float32)
-                dev_all = jnp.asarray(raw) if dev_images is None else dev_images
+                # raw uint8 upload (4x cheaper over the link); threshold,
+                # refine and decode cast on device
+                dev_all = jnp.asarray(raw)
             else:
-                imgs = np.stack([_to_gray_f32(im) for im in raw])
-                dev_all = jnp.asarray(imgs) if dev_images is None else dev_images
+                dev_all = jnp.asarray(np.stack([_to_gray_f32(im) for im in raw]))
         B, H, W = dev_all.shape
 
-        # Software pipeline over fixed-size chunks: every chunk's upload +
-        # threshold is enqueued on the device up front (dispatch is async),
-        # so the single-core host stages (quad extraction, native subpixel
-        # refine) of chunk i overlap the device work of chunks i+1...
+        # Enqueue every chunk's threshold up front (dispatch is async), so
+        # the packed-bitmap downloads of chunk i overlap the device work of
+        # chunks i+1...
         C = min(self.chunk, B)
         n_chunks = (B + C - 1) // C
         dev_chunks, packed_chunks = [], []
@@ -182,96 +161,29 @@ class TagDetector:
                 reps = jnp.repeat(part[-1:], C - part.shape[0], axis=0)
                 part = jnp.concatenate([part, reps], axis=0)
             padded, _, _ = pad_to_tile(part)
-            dev_chunks.append(part.astype(jnp.float32))
+            dev_chunks.append(part)
             packed_chunks.append(adaptive_threshold_packed2(padded))
         pw = int(pad_to_tile(dev_all[:1])[0].shape[-1])
 
-        results: List[Dict[int, np.ndarray]] = []
+        # Phase 1: host quad extraction per chunk; enqueue fused
+        # refine+decode (result fetched in phase 2 — device runs ahead).
+        pending = []
         for ci in range(n_chunks):
-            lo = ci * C
-            nb = min(C, B - lo)
             with stage("detect/threshold"):
                 packed = np.asarray(packed_chunks[ci])  # (C, 2, Hp, Wp/8)
                 binary = np.unpackbits(packed, axis=-1, count=pw)[:, :, :H, :W]
             with stage("detect/quadproc"):
                 # both erosion levels (scale-dependent corner-square
-                # bridges survive a single erosion); level-2 quads whose
-                # center falls inside an existing level-1 quad's radius are
-                # duplicates and dropped before the decode bucket.
+                # bridges survive a single erosion); level-2 duplicates
+                # are dropped before the decode bucket.
                 half = self.max_quads // 2
                 q1, c1 = extract_quads_batch(binary[:, 0], max_quads=half)
                 q2, c2 = extract_quads_batch(binary[:, 1], max_quads=half)
-                quads = np.zeros((C, self.max_quads, 4, 2), np.float32)
-                counts = np.zeros(C, np.int32)
-                for b in range(C):
-                    n1 = int(c1[b])
-                    quads[b, :n1] = q1[b, :n1]
-                    n = n1
-                    if c2[b]:
-                        cen1 = q1[b, :n1].mean(axis=1)  # (n1,2)
-                        cen2 = q2[b, : c2[b]].mean(axis=1)
-                        rad1 = (
-                            np.linalg.norm(
-                                q1[b, :n1] - cen1[:, None, :], axis=-1
-                            ).mean(axis=1)
-                            if n1
-                            else np.zeros(0)
-                        )
-                        for j in range(int(c2[b])):
-                            if n >= self.max_quads:
-                                break
-                            if n1 and (
-                                np.linalg.norm(cen1 - cen2[j], axis=1) < 0.7 * rad1
-                            ).any():
-                                continue
-                            quads[b, n] = q2[b, j]
-                            n += 1
-                    counts[b] = n
-            dev_f32 = dev_chunks[ci]
-            dev_sharp = unsharp(dev_f32)  # decode sampling only (see decode.unsharp)
-            if device_resident:
-                imgs_c = None
-
-                def refine_fn(qds, qframe, total):
-                    return _refine_via_patches(dev_f32, qds, qframe, total)
-
-            else:
-                imgs_c = imgs[lo : lo + nb]
-                if imgs_c.shape[0] < C:
-                    imgs_c = np.concatenate(
-                        [imgs_c, np.repeat(imgs_c[-1:], C - imgs_c.shape[0], axis=0)]
-                    )
-
-                def refine_fn(qds, qframe, total, _imgs=imgs_c):
-                    from .assist import _refine_compact
-
-                    return _refine_compact(_imgs, qds, qframe, total)
-
-            if self.refine:
-                # subpixel-refine ALL candidate corners BEFORE decoding:
-                # sharper homographies make bit sampling markedly more
-                # reliable on small/strongly-distorted tags.
-                with stage("detect/refine"):
-                    if self.native_refine and device_resident:
-                        quads = _refine_quads_via_patches(dev_f32, quads, counts)
-                        quads_j = jnp.asarray(quads)
-                    elif self.native_refine:
-                        quads = refine_corners_native(
-                            imgs_c, quads.reshape(C, -1, 2), counts=counts, group=4
-                        ).reshape(quads.shape)
-                        quads_j = jnp.asarray(quads)
-                    else:
-                        quads_j = refine_corners(
-                            dev_f32, jnp.asarray(quads).reshape(C, -1, 2)
-                        ).reshape(quads.shape)
-            else:
-                quads_j = jnp.asarray(quads)
-
-            with stage("detect/decode"):
+                quads, counts = _dedup_levels(q1, c1, q2, c2, self.max_quads)
+            with stage("detect/dispatch"):
                 # compact the (C, K) quad buffer (mostly padding) to a
                 # static bucket of real quads — ~3x fewer sampling gathers
-                quads_np = np.asarray(quads_j)
-                n_real = np.minimum(counts, quads_np.shape[1])
+                n_real = np.minimum(counts, quads.shape[1])
                 qframe = np.repeat(np.arange(C, dtype=np.int32), n_real)
                 sel_k = np.concatenate(
                     [np.arange(n) for n in n_real] or [np.zeros(0, np.int64)]
@@ -281,45 +193,68 @@ class TagDetector:
                     self._bucket *= 2
                 bucket = self._bucket
                 qq = np.zeros((bucket, 4, 2), np.float32)
-                qq[:total] = quads_np[qframe, sel_k]
+                qq[:total] = quads[qframe, sel_k]
                 qf = np.zeros(bucket, np.int32)
                 qf[:total] = qframe
                 qv = np.zeros(bucket, bool)
                 qv[:total] = True
-                out = decode_quads_compact(
-                    self.family, dev_sharp, jnp.asarray(qq), jnp.asarray(qf),
-                    jnp.asarray(qv),
+                out = refine_decode_fused(
+                    self.family, dev_chunks[ci], jnp.asarray(qq),
+                    jnp.asarray(qf), jnp.asarray(qv), do_refine=self.refine,
                 )
-            tag_id = np.asarray(out["tag_id"])
-            hamming = np.asarray(out["hamming"])
-            valid = np.asarray(out["valid"])
-            corners = np.asarray(out["corners"])  # (bucket,4,2)
+            pending.append((out, qf, total))
 
-            best_all: List[Dict[int, Tuple[int, int]]] = [dict() for _ in range(nb)]
-            for q in np.flatnonzero(valid[:total]):
-                b = int(qf[q])
-                if b >= nb:
-                    continue
-                tid = int(tag_id[q])
-                cur = best_all[b]
-                if tid not in cur or hamming[q] < cur[tid][1]:
-                    cur[tid] = (int(q), int(hamming[q]))
-            chunk_results: List[Dict[int, np.ndarray]] = [
-                {tid: corners[q].copy() for tid, (q, _) in best.items()}
-                for best in best_all
-            ]
+        # Phase 2: fetch decode outputs; enqueue the assist decode.
+        all_chunk_results: List[List[Dict[int, np.ndarray]]] = []
+        assist_pending = []
+        for ci in range(n_chunks):
+            out, qf, total = pending[ci]
+            nb = min(C, B - ci * C)
+            with stage("detect/decode"):
+                tag_id = np.asarray(out["tag_id"])
+                hamming = np.asarray(out["hamming"])
+                valid = np.asarray(out["valid"])
+                corners = np.asarray(out["corners"])  # (bucket,4,2)
+
+                best_all: List[Dict[int, Tuple[int, int]]] = [
+                    dict() for _ in range(nb)
+                ]
+                for q in np.flatnonzero(valid[:total]):
+                    b = int(qf[q])
+                    if b >= nb:
+                        continue
+                    tid = int(tag_id[q])
+                    cur = best_all[b]
+                    if tid not in cur or hamming[q] < cur[tid][1]:
+                        cur[tid] = (int(q), int(hamming[q]))
+                chunk_results: List[Dict[int, np.ndarray]] = [
+                    {tid: corners[q].copy() for tid, (q, _) in best.items()}
+                    for best in best_all
+                ]
+            all_chunk_results.append(chunk_results)
 
             if board is not None:
-                from .assist import recover_missing_tags
+                from .assist import assist_candidates
 
                 with stage("detect/assist"):
-                    # pass the full (padded) chunk so decode shapes stay
-                    # static; only the nb real frames appear in the results
-                    recover_missing_tags(
-                        self.family, board, refine_fn, dev_sharp, chunk_results
-                    )
-            results.extend(chunk_results)
-        return results
+                    cand, aq, af, av = assist_candidates(board, chunk_results, W, H)
+                    if cand is not None:
+                        aout = refine_decode_fused(
+                            self.family, dev_chunks[ci], jnp.asarray(aq),
+                            jnp.asarray(af), jnp.asarray(av),
+                            do_refine=self.refine,
+                        )
+                        assist_pending.append((ci, cand, aout))
+
+        # Phase 3: fetch + merge assist results.
+        if assist_pending:
+            from .assist import assist_merge
+
+            with stage("detect/assist"):
+                for ci, cand, aout in assist_pending:
+                    assist_merge(self.family, cand, aout, all_chunk_results[ci])
+
+        return [r for chunk in all_chunk_results for r in chunk]
 
     # -------------------------------------------------------------- single
     def detect(self, image) -> Dict[int, np.ndarray]:
