@@ -160,11 +160,11 @@ def assist_candidates(board: Board, results: List[Dict[int, np.ndarray]],
         return None, None, None, None
 
     # bucket the compact candidate list to a static decode shape
-    # (grow-only so boundary-hovering counts don't flap the compiled shape)
+    # (grow-only in 256 steps so boundary-hovering counts don't flap the
+    # compiled shape)
     global _BUCKET
     total = len(cand)
-    while _BUCKET < total:
-        _BUCKET *= 2
+    _BUCKET = max(_BUCKET, -(-total // 256) * 256)
     bucket = _BUCKET
     quads = np.zeros((bucket, 4, 2), np.float32)
     qframe = np.zeros(bucket, np.int32)

@@ -109,9 +109,10 @@ class TagDetector:
         self.refine = refine
         self.max_quads = max_quads
         self.chunk = 64  # pipeline chunk (see detect_batch)
-        self._bucket = 256  # sticky decode bucket (grows, never shrinks —
-        # a count hovering at a power-of-two boundary must not flap the
-        # compiled decode shape)
+        self._bucket = 256  # sticky decode bucket (grows in 256-quad steps,
+        # never shrinks — a count hovering at a boundary must not flap the
+        # compiled decode shape, and power-of-two doubling wasted up to
+        # ~70% of the refine/decode compute as padding)
 
     # ------------------------------------------------------------- batched
     def detect_batch(
@@ -189,8 +190,7 @@ class TagDetector:
                     [np.arange(n) for n in n_real] or [np.zeros(0, np.int64)]
                 ).astype(np.int64)
                 total = qframe.shape[0]
-                while self._bucket < total:
-                    self._bucket *= 2
+                self._bucket = max(self._bucket, -(-total // 256) * 256)
                 bucket = self._bucket
                 qq = np.zeros((bucket, 4, 2), np.float32)
                 qq[:total] = quads[qframe, sel_k]

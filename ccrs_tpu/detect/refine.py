@@ -46,72 +46,102 @@ def _bilinear(img, x, y):
     )
 
 
+def _sep_corr(maps, kx, ky):
+    """Separable 'SAME' correlation over the last two dims of (N, P, P)
+    with zero padding; kx/ky are 1-D taps of length 2*win+1."""
+    win = (kx.shape[0] - 1) // 2
+    P = maps.shape[-1]
+    x = jnp.pad(maps, [(0, 0), (win, win), (win, win)])
+    rows = sum(ky[k] * x[:, k : k + P, :] for k in range(2 * win + 1))
+    return sum(kx[k] * rows[:, :, k : k + P] for k in range(2 * win + 1))
+
+
 def refine_patches(patches, local, win: int = WIN, iters: int = ITERS):
     """Patch-based subpixel refinement, fully on device.
 
-    Same cornerSubPix math as ``refine_corners`` but each corner works on
-    its own PxP patch (gathered once by ``patches.extract_patches``): the
-    per-iteration bilinear samples become dense (N, 81) take_along_axis
-    reads of tiny per-corner buffers instead of scattered full-image
-    gathers — the TPU-friendly formulation.  Traceable (no jit here) so it
-    fuses into the caller's graph (see decode.refine_decode_fused).
+    Same fixed point as ``refine_corners``'s cornerSubPix iteration —
+    ``(sum w G) q = sum w G p`` over the Gaussian window — but formulated
+    KLT-style for the TPU: the window sums are CONVOLUTIONS of the
+    gradient-product maps (gx^2, gx*gy, gy^2) with the (separable)
+    Gaussian kernel, computed ONCE per patch as dense shifted adds.  With
+    p = q + o the right-hand side splits as
+
+      bx(q) = qx*A(q) + qy*B(q) + [gx^2 (*) w*ox](q) + [gxgy (*) w*oy](q)
+      by(q) = qx*B(q) + qy*D(q) + [gxgy (*) w*ox](q) + [gy^2 (*) w*oy](q)
+
+    so each Newton iteration only bilinearly samples 7 precomputed maps at
+    the current center (one tiny gather) and solves the 2x2 — no
+    per-iteration 81-point window gathers.  (Smoothing the products before
+    interpolation is the standard KLT/structure-tensor discretization; it
+    agrees with the native kernel to well under the detector's noise
+    floor — see tests/test_native_refine.py.)
+
+    Traceable (no jit here) so it fuses into the caller's graph
+    (decode.refine_decode_fused).
 
     Args:
       patches: (N, P, P) float32.
       local: (N, 2) float32 patch-local (x, y) estimates.
 
-    Returns (N, 2) refined patch-local positions.
+    Returns (N, 2) refined patch-local positions (per-iteration step
+    clamped to 1 px, total shift clamped to the window radius).
     """
     N, P, _ = patches.shape
     gx = jnp.zeros_like(patches)
     gy = jnp.zeros_like(patches)
     gx = gx.at[:, :, 1:-1].set((patches[:, :, 2:] - patches[:, :, :-2]) * 0.5)
     gy = gy.at[:, 1:-1, :].set((patches[:, 2:, :] - patches[:, :-2, :]) * 0.5)
-    gxf = gx.reshape(N, P * P)
-    gyf = gy.reshape(N, P * P)
 
     offs = jnp.arange(-win, win + 1, dtype=patches.dtype)
-    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
-    ox = ox.reshape(-1)[None, :]
-    oy = oy.reshape(-1)[None, :]
-    wgt = jnp.exp(-(ox * ox + oy * oy) / (2.0 * (win / 2.0) ** 2))
+    g = jnp.exp(-(offs * offs) / (2.0 * (win / 2.0) ** 2))
+    go = g * offs  # first-moment taps
 
-    def bsample(flat, x, y):
+    gxx = gx * gx
+    gxy = gx * gy
+    gyy = gy * gy
+    maps = jnp.stack(
+        [
+            _sep_corr(gxx, g, g),  # A
+            _sep_corr(gxy, g, g),  # B
+            _sep_corr(gyy, g, g),  # D
+            _sep_corr(gxx, go, g),  # sum w*ox*gx^2
+            _sep_corr(gxy, g, go),  # sum w*oy*gx*gy
+            _sep_corr(gxy, go, g),  # sum w*ox*gx*gy
+            _sep_corr(gyy, g, go),  # sum w*oy*gy^2
+        ],
+        axis=1,
+    ).reshape(N, 7, P * P)
+
+    def bsample7(x, y):
         x = jnp.clip(x, 0.0, P - 1.001)
         y = jnp.clip(y, 0.0, P - 1.001)
         x0 = jnp.floor(x).astype(jnp.int32)
         y0 = jnp.floor(y).astype(jnp.int32)
-        fx = (x - x0).astype(flat.dtype)
-        fy = (y - y0).astype(flat.dtype)
-        idx = y0 * P + x0
-        v00 = jnp.take_along_axis(flat, idx, axis=1)
-        v01 = jnp.take_along_axis(flat, idx + 1, axis=1)
-        v10 = jnp.take_along_axis(flat, idx + P, axis=1)
-        v11 = jnp.take_along_axis(flat, idx + P + 1, axis=1)
-        return (
-            v00 * (1 - fx) * (1 - fy)
-            + v01 * fx * (1 - fy)
-            + v10 * (1 - fx) * fy
-            + v11 * fx * fy
-        )
+        fx = (x - x0).astype(maps.dtype)[:, None]
+        fy = (y - y0).astype(maps.dtype)[:, None]
+        base = (y0 * P + x0)[:, None, None]
+        idx = jnp.concatenate(
+            [base, base + 1, base + P, base + P + 1], axis=2
+        )  # (N, 1, 4)
+        v = jnp.take_along_axis(maps, jnp.broadcast_to(idx, (N, 7, 4)), axis=2)
+        w = jnp.stack(
+            [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy], axis=2
+        )  # (N, 1, 4)
+        return jnp.sum(v * w, axis=2)  # (N, 7)
 
     def step(c, _):
-        x = c[:, 0:1] + ox
-        y = c[:, 1:2] + oy
-        gxs = bsample(gxf, x, y)
-        gys = bsample(gyf, x, y)
-        a = jnp.sum(wgt * gxs * gxs, axis=1)
-        b = jnp.sum(wgt * gxs * gys, axis=1)
-        d = jnp.sum(wgt * gys * gys, axis=1)
-        bx = jnp.sum(wgt * (gxs * gxs * x + gxs * gys * y), axis=1)
-        by = jnp.sum(wgt * (gxs * gys * x + gys * gys * y), axis=1)
+        qx, qy = c[:, 0], c[:, 1]
+        m = bsample7(qx, qy)
+        a, b, d = m[:, 0], m[:, 1], m[:, 2]
+        bx = qx * a + qy * b + m[:, 3] + m[:, 4]
+        by = qx * b + qy * d + m[:, 5] + m[:, 6]
         det = a * d - b * b
         det = jnp.where(jnp.abs(det) > 1e-9, det, 1e-9)
-        qx = (d * bx - b * by) / det
-        qy = (a * by - b * bx) / det
-        dx = jnp.clip(qx - c[:, 0], -1.0, 1.0)
-        dy = jnp.clip(qy - c[:, 1], -1.0, 1.0)
-        return jnp.stack([c[:, 0] + dx, c[:, 1] + dy], axis=1), None
+        nx = (d * bx - b * by) / det
+        ny = (a * by - b * bx) / det
+        dx = jnp.clip(nx - qx, -1.0, 1.0)
+        dy = jnp.clip(ny - qy, -1.0, 1.0)
+        return jnp.stack([qx + dx, qy + dy], axis=1), None
 
     refined, _ = jax.lax.scan(step, local, None, length=iters)
     total = refined - local
