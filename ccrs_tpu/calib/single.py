@@ -19,7 +19,7 @@ import numpy as np
 from ..board import Board
 from ..models import GenericModel
 from ..models.projections import project_fn, unproject_fn
-from ..solve.lm import ba_solve, expand_theta, reduce_params
+from ..solve.lm import ba_solve, ba_solve_mixed, expand_theta, reduce_params
 from ..solve.pnp import solve_pnp_planar
 from ..types import RvecTvec
 from .frames import FrameBatch
@@ -89,11 +89,12 @@ def _calib_camera_device(
     one_focal: bool, max_iters: int = 60, huber_delta: float = 1.0,
 ):
     """Whole single-camera calibration as ONE device graph:
-    unproject -> planar-PnP pose init -> Schur LM bundle adjustment
-    (halves the dispatch round-trips of calib_camera)."""
+    unproject -> planar-PnP pose init -> mixed-precision Schur LM bundle
+    adjustment (f32 bulk descent + f64 polish; halves the dispatch
+    round-trips of calib_camera and skips most emulated-f64 iterations)."""
     poses0, frame_valid = _pose_init_core(unproj, params_full, p2d, mask, p3d)
     frame_valid = frame_valid * (jnp.sum(mask, axis=1) > 0)
-    res = ba_solve(
+    res = ba_solve_mixed(
         project_fn, theta0, poses0, p3d, p2d, mask.astype(theta0.dtype),
         lo, hi, free, frame_valid,
         one_focal=one_focal, max_iters=max_iters, huber_delta=huber_delta,

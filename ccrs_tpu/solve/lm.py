@@ -174,7 +174,7 @@ def reduce_params(params, one_focal: bool):
 
 @partial(
     jax.jit,
-    static_argnames=("project_fn", "one_focal", "max_iters", "huber_delta"),
+    static_argnames=("project_fn", "one_focal", "max_iters", "huber_delta", "rtol"),
 )
 def ba_solve(
     project_fn,
@@ -190,6 +190,7 @@ def ba_solve(
     one_focal: bool = False,
     max_iters: int = 60,
     huber_delta: float = 1.0,
+    rtol: float = 1e-14,
 ):
     """Single-camera BA: intrinsics + per-frame board poses.
 
@@ -215,7 +216,7 @@ def ba_solve(
     k = theta0.shape[0]
     dtype = theta0.dtype
     w = w * frame_valid[:, None]
-    opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta)
+    opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta, rtol=rtol)
 
     def frame_residual(theta, pose, p2d_f):
         params = expand_theta(theta, one_focal)
@@ -303,6 +304,46 @@ def ba_solve(
     )
     theta, poses, _, cost, it, _ = jax.lax.while_loop(cond, body, state)
     return BAResult(theta, poses, cost, it)
+
+
+def ba_solve_mixed(
+    project_fn,
+    theta0,
+    poses0,
+    p3d,
+    p2d,
+    w,
+    lo,
+    hi,
+    free,
+    frame_valid,
+    one_focal: bool = False,
+    max_iters: int = 60,
+    huber_delta: float = 1.0,
+    polish_iters: int = 12,
+) -> BAResult:
+    """Two-stage mixed-precision single-camera BA (same rationale as
+    ba_solve_multi_mixed: TPU f64 is double-float emulation, ~10x the
+    FLOPs of native f32, and LM only needs full precision near the
+    optimum).  Stage 1 runs the bulk descent in native f32 (rtol=1e-6 —
+    the f32 cost plateau); stage 2 polishes in the caller's dtype.
+    Traceable, so it inlines into the caller's jit graph."""
+    f32 = jnp.float32
+    a32 = [
+        jnp.asarray(a, f32)
+        for a in (theta0, poses0, p3d, p2d, w, lo, hi, free, frame_valid)
+    ]
+    s1 = ba_solve(
+        project_fn, *a32, one_focal=one_focal, max_iters=max_iters,
+        huber_delta=huber_delta, rtol=1e-6,
+    )
+    dt = theta0.dtype
+    s2 = ba_solve(
+        project_fn, jnp.asarray(s1.theta, dt), jnp.asarray(s1.poses, dt),
+        p3d, p2d, w, lo, hi, free, frame_valid,
+        one_focal=one_focal, max_iters=polish_iters, huber_delta=huber_delta,
+    )
+    return BAResult(s2.theta, s2.poses, s2.cost, s1.n_iters + s2.n_iters)
 
 
 # --------------------------------------------------------------------------
