@@ -15,6 +15,7 @@ Covers the reference flow try_init_camera -> init_ucm
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -23,10 +24,14 @@ import numpy as np
 
 from ..board import Board
 from ..models import GenericModel
-from ..models.projections import project_ucm
-from ..solve.homography import homography_to_focal, radial_distortion_homography
-from ..solve.lm import ba_solve
-from ..solve.pnp import solve_pnp_planar_batch
+from ..models.projections import project_ucm, unproject_ucm
+from ..solve.homography import (
+    homography_to_focal,
+    homography_to_focal_traced,
+    radial_distortion_homography,
+)
+from ..solve.lm import ba_solve, expand_theta
+from ..solve.pnp import solve_pnp_planar
 from .frames import FrameBatch
 
 
@@ -85,88 +90,90 @@ def _normalize(p2d, width, height):
     return (p2d - np.array([half_w, half_h])) / half, half
 
 
-def init_poses(board: Board, batch: FrameBatch, frame_ids, lam: float):
-    """Division-model pose init (``src/optimization/linear.rs:5-21``):
-    normalize by image center/half-size, undo r' = r(1+lam r^2), planar PnP.
-    Returns an (n,6) rvec|tvec array.
+@partial(jax.jit, static_argnames=("fixed_focal",))
+def _try_init_device(
+    key, q0, q1, pair_mask, p3d, p2d, masks, half, wh,
+    fixed_focal: Optional[float] = None,
+):
+    """The ENTIRE init attempt as one device graph (one link round trip):
 
-    NOTE (parity): like the reference, the normalized coordinates keep the
-    unknown focal scale, so the recovered pose absorbs it — it is only an
-    initialization for the subsequent [f, alpha] fit.
+      RANSAC radial-distortion homography -> closed-form focal ->
+      division-model planar PnP poses -> two-frame [f, alpha] UCM fit ->
+      two-frame full UCM calibration (pose re-init + mixed-precision BA).
+
+    Covers try_init_camera + init_ucm (src/util.rs:107-378).  Validity
+    decisions that used to be host branches between dispatches are carried
+    through as an ``ok`` flag.
+
+    Args:
+      q0, q1: (N,2) center/half-size-normalized observations of the two
+        init frames; pair_mask (N,) both-observed.
+      p3d: (N,3) board points; p2d (2,N,2) raw pixel observations;
+        masks (2,N) per-frame observation masks.
+      half, wh: normalization half-size and (w, h) as device scalars.
+      fixed_focal: static — None, or the pinned focal value.
+
+    Returns (params (5,) full UCM, ok flag).
     """
-    p3d = jnp.asarray(board.p3d, dtype=jnp.float64)
-    qn_all, w_all = [], []
-    for f in frame_ids:
-        q, _ = _normalize(batch.p2d[f], batch.width, batch.height)
-        sc = 1.0 + lam * np.sum(q * q, axis=-1)
-        qn_all.append(q / sc[..., None])
-        w_all.append(batch.mask[f].astype(np.float64))
-    n = len(frame_ids)
-    r, t = solve_pnp_planar_batch(
-        jnp.broadcast_to(p3d, (n,) + p3d.shape),
-        jnp.asarray(np.stack(qn_all)),
-        jnp.asarray(np.stack(w_all)),
+    dtype = q0.dtype
+    lam, Hm, score = radial_distortion_homography(key, q0, q1, pair_mask)
+    f_unit, f_ok = homography_to_focal_traced(Hm)
+    ok = jnp.isfinite(score) & f_ok & jnp.isfinite(f_unit) & (f_unit > 0)
+
+    init_f = (
+        jnp.asarray(fixed_focal, dtype)
+        if fixed_focal is not None
+        else f_unit * half
     )
-    return np.concatenate([np.asarray(r), np.asarray(t)], axis=1)
+    init_alpha = jnp.abs(lam)
+    w2 = masks.astype(dtype)
 
-
-def init_ucm(
-    board: Board,
-    batch: FrameBatch,
-    frame0: int,
-    frame1: int,
-    poses0: np.ndarray,
-    init_f: float,
-    init_alpha: float,
-    fixed_focal: bool,
-) -> Optional[GenericModel]:
-    """Two-frame [f, alpha] UCM fit, then two-frame full UCM calibration
-    (``src/util.rs:287-378``).
-
-    Stage 1 parameterization: reduced UCM theta = [f, cx, cy, alpha] with
-    cx, cy frozen at the image center and f bounded to [f/3, 3f]
-    (util.rs:345-346); Huber delta 1.0.
-    """
-    half_w, half_h = batch.width / 2.0, batch.height / 2.0
-    theta0 = jnp.asarray([init_f, half_w, half_h, init_alpha])
-    lo = jnp.asarray([init_f / 3.0, 0.0, 0.0, 1e-6])
-    hi = jnp.asarray([init_f * 3.0, batch.width, batch.height, 1.0])
-    free = jnp.asarray([0.0 if fixed_focal else 1.0, 0.0, 0.0, 1.0])
-
-    sel = [frame0, frame1]
-    p2d = jnp.asarray(batch.p2d[sel])
-    w = jnp.asarray(batch.mask[sel].astype(np.float64))
-    res = ba_solve(
-        project_ucm,
-        theta0,
-        jnp.asarray(poses0),
-        jnp.asarray(board.p3d, dtype=jnp.float64),
-        p2d,
-        w,
-        lo,
-        hi,
-        free,
-        jnp.ones(2),
-        one_focal=True,
-        huber_delta=1.0,
+    # division-model pose init (linear.rs:5-21): undo r' = r (1 + lam r^2)
+    q = jnp.stack([q0, q1])
+    sc = 1.0 + lam * jnp.sum(q * q, axis=-1)
+    qn = q / sc[..., None]
+    r, t = jax.vmap(solve_pnp_planar)(
+        jnp.broadcast_to(p3d, (2,) + p3d.shape), qn, w2
     )
-    f = float(res.theta[0])
-    alpha = float(res.theta[3])
-    params = np.array([f, f, half_w, half_h, alpha])
-    model = GenericModel("ucm", params, batch.width, batch.height)
-    # stage 2: full two-frame UCM calibration with standard bounds
-    from .single import calib_camera  # local import to avoid cycle
+    poses0 = jnp.concatenate([r, t], axis=1)
 
-    two = FrameBatch(
-        batch.time_ns[sel], batch.p2d[sel], batch.mask[sel], batch.width, batch.height
+    # stage 1: reduced UCM theta = [f, cx, cy, alpha], cx/cy frozen at the
+    # image center, f bounded to [f/3, 3f] (util.rs:345-346)
+    half_w, half_h = wh[0] / 2.0, wh[1] / 2.0
+    theta0 = jnp.stack([init_f, half_w, half_h, init_alpha])
+    lo1 = jnp.stack([init_f / 3.0, jnp.zeros_like(init_f), jnp.zeros_like(init_f), jnp.asarray(1e-6, dtype)])
+    hi1 = jnp.stack([init_f * 3.0, wh[0], wh[1], jnp.asarray(1.0, dtype)])
+    free1 = jnp.asarray([0.0 if fixed_focal is not None else 1.0, 0.0, 0.0, 1.0], dtype)
+    res1 = ba_solve(
+        project_ucm, theta0, poses0, p3d, p2d, w2, lo1, hi1, free1,
+        jnp.ones(2, dtype), one_focal=True, huber_delta=1.0,
     )
-    out = calib_camera(
-        board, two, model, xy_same_focal=True, disabled_distortions=0,
-        fixed_focal=fixed_focal,
+    params1 = expand_theta(res1.theta, True)  # (5,) full UCM
+
+    # stage 2: two-frame full UCM calibration with standard bounds
+    # (util.rs:364-374) — pose re-init through the fitted model + BA
+    from .single import _calib_camera_device
+
+    lo2 = jnp.stack(
+        [jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
+         jnp.asarray(0.0, dtype), jnp.asarray(1e-6, dtype)]
     )
-    if out is None:
-        return None
-    return out[0]
+    hi2 = jnp.stack([jnp.asarray(1e4, dtype), wh[0], wh[1], jnp.asarray(1.0, dtype)])
+    free2 = jnp.asarray([0.0 if fixed_focal is not None else 1.0, 1.0, 1.0, 1.0], dtype)
+    theta2 = jnp.stack([params1[0], params1[2], params1[3], params1[4]])
+    res2, frame_valid = _calib_camera_device(
+        unproject_ucm, project_ucm, theta2, params1, p2d, masks, p3d,
+        lo2, hi2, free2, one_focal=True,
+    )
+    params = expand_theta(res2.theta, True)
+    ok = (
+        ok
+        & jnp.isfinite(res2.cost)
+        & (jnp.sum(frame_valid) > 0)
+        & jnp.all(jnp.isfinite(params))
+        & (params[0] != 0.0)
+    )
+    return params, ok
 
 
 def try_init_camera(
@@ -181,26 +188,26 @@ def try_init_camera(
 
     Returns a fitted UCM model or None (caller retries with a new key).
     """
-    # matched pairs on normalized coordinates
+    # matched pairs on normalized coordinates (host: tiny, data-dependent)
     q0, half = _normalize(batch.p2d[frame0], batch.width, batch.height)
     q1, _ = _normalize(batch.p2d[frame1], batch.width, batch.height)
     pair_mask = batch.mask[frame0] & batch.mask[frame1]
-    lam, H, score = radial_distortion_homography(
-        key, jnp.asarray(q0), jnp.asarray(q1), jnp.asarray(pair_mask)
+    sel = [frame0, frame1]
+    params, ok = _try_init_device(
+        key,
+        jnp.asarray(q0),
+        jnp.asarray(q1),
+        jnp.asarray(pair_mask),
+        jnp.asarray(board.p3d, dtype=jnp.float64),
+        jnp.asarray(batch.p2d[sel]),
+        jnp.asarray(batch.mask[sel]),
+        jnp.asarray(float(half), jnp.float64),
+        jnp.asarray([batch.width, batch.height], jnp.float64),
+        fixed_focal=fixed_focal,
     )
-    lam = float(lam)
-    if not np.isfinite(float(score)):
+    if not bool(ok):
         return None
-    f_unit, ok = homography_to_focal(H)
-    if not bool(ok) or not np.isfinite(float(f_unit)) or float(f_unit) <= 0:
+    params = np.asarray(params)
+    if not np.isfinite(params).all() or params[0] == 0.0:
         return None
-    init_f = fixed_focal if fixed_focal is not None else float(f_unit) * half
-    init_alpha = abs(lam)
-    poses0 = init_poses(board, batch, [frame0, frame1], lam)
-    model = init_ucm(
-        board, batch, frame0, frame1, poses0, init_f, init_alpha,
-        fixed_focal is not None,
-    )
-    if model is None or model.params[0] == 0.0:
-        return None
-    return model
+    return GenericModel("ucm", params, batch.width, batch.height)

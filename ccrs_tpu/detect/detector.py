@@ -37,7 +37,22 @@ from ..utils.profiling import stage
 from .decode import refine_decode_fused
 from .families import TagFamily, get_family
 from .quads import MAX_QUADS, extract_quads_batch
-from .threshold import adaptive_threshold_packed2, pad_to_tile
+from .threshold import adaptive_threshold_packed, pad_to_tile
+
+
+def _dilate_white_host(binary: np.ndarray) -> np.ndarray:
+    """3x3 white dilation (= one more black erosion) of a (B, H, W) {0,1}
+    uint8 batch on the host — exactly reduce_window(OR, 3x3, SAME) with
+    False padding, but computed from the already-downloaded level-1 bitmap
+    so the second erosion level never crosses the link (the packed-bitmap
+    download is bandwidth-bound at ~20 MB/s measured)."""
+    out = binary.copy()
+    out[:, 1:, :] |= binary[:, :-1, :]
+    out[:, :-1, :] |= binary[:, 1:, :]
+    col = out.copy()
+    out[:, :, 1:] |= col[:, :, :-1]
+    out[:, :, :-1] |= col[:, :, 1:]
+    return out
 
 
 def _to_gray_f32(img: np.ndarray) -> np.ndarray:
@@ -163,23 +178,33 @@ class TagDetector:
                 part = jnp.concatenate([part, reps], axis=0)
             padded, _, _ = pad_to_tile(part)
             dev_chunks.append(part)
-            packed_chunks.append(adaptive_threshold_packed2(padded))
+            packed_chunks.append(adaptive_threshold_packed(padded))
         pw = int(pad_to_tile(dev_all[:1])[0].shape[-1])
+
+        # Prefetch the packed bitmaps on a background thread: the link
+        # download of chunk i+1 overlaps the host quad extraction of
+        # chunk i (both are serial bottlenecks otherwise).
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        fetches = [pool.submit(np.asarray, p) for p in packed_chunks]
 
         # Phase 1: host quad extraction per chunk; enqueue fused
         # refine+decode (result fetched in phase 2 — device runs ahead).
         pending = []
         for ci in range(n_chunks):
             with stage("detect/threshold"):
-                packed = np.asarray(packed_chunks[ci])  # (C, 2, Hp, Wp/8)
-                binary = np.unpackbits(packed, axis=-1, count=pw)[:, :, :H, :W]
+                packed = fetches[ci].result()  # (C, Hp, Wp/8)
+                b1 = np.unpackbits(packed, axis=-1, count=pw)[:, :H, :W]
             with stage("detect/quadproc"):
                 # both erosion levels (scale-dependent corner-square
-                # bridges survive a single erosion); level-2 duplicates
-                # are dropped before the decode bucket.
+                # bridges survive a single erosion); the second level is
+                # derived on host (white dilation of level 1) and its
+                # duplicates dropped before the decode bucket.
+                b2 = _dilate_white_host(b1)
                 half = self.max_quads // 2
-                q1, c1 = extract_quads_batch(binary[:, 0], max_quads=half)
-                q2, c2 = extract_quads_batch(binary[:, 1], max_quads=half)
+                q1, c1 = extract_quads_batch(b1, max_quads=half)
+                q2, c2 = extract_quads_batch(b2, max_quads=half)
                 quads, counts = _dedup_levels(q1, c1, q2, c2, self.max_quads)
             with stage("detect/dispatch"):
                 # compact the (C, K) quad buffer (mostly padding) to a
@@ -203,6 +228,7 @@ class TagDetector:
                     jnp.asarray(qf), jnp.asarray(qv), do_refine=self.refine,
                 )
             pending.append((out, qf, total))
+        pool.shutdown(wait=False)
 
         # Phase 2: fetch decode outputs; enqueue the assist decode.
         all_chunk_results: List[List[Dict[int, np.ndarray]]] = []

@@ -195,6 +195,50 @@ def radial_distortion_homography(key, p0, p1, mask, n_samples=1000):
     return lams[best], Hs[best], scores[best]
 
 
+def homography_to_focal_traced(H):
+    """Traceable twin of ``homography_to_focal`` (same closed form,
+    jnp.where instead of Python branches) so the whole init pipeline can
+    run as ONE device graph (calib.initialize._try_init_device).
+
+    Returns (f, ok) as traced scalars."""
+    h0, h1, h2 = H[0, 0], H[0, 1], H[0, 2]
+    h3, h4, h5 = H[1, 0], H[1, 1], H[1, 2]
+    h6, h7 = H[2, 0], H[2, 1]
+
+    def safe_div(n, d):
+        return n / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+
+    def pair(v1, v2, d1, d2):
+        lo = jnp.minimum(v1, v2)
+        hi = jnp.maximum(v1, v2)
+        val = jnp.where(
+            lo > 0.0, jnp.where(jnp.abs(d1) > jnp.abs(d2), hi, lo), hi
+        )
+        ok = jnp.where(lo > 0.0, True, hi > 0.0)
+        return val, ok
+
+    d1a = h6 * h7
+    d2a = (h7 - h6) * (h7 + h6)
+    f1_sq, f1_ok = pair(
+        safe_div(-(h0 * h1 + h3 * h4), d1a),
+        safe_div(h0 * h0 + h3 * h3 - h1 * h1 - h4 * h4, d2a),
+        d1a, d2a,
+    )
+    d1b = h0 * h3 + h1 * h4
+    d2b = h0 * h0 + h1 * h1 - h3 * h3 - h4 * h4
+    f0_sq, f0_ok = pair(
+        safe_div(-h2 * h5, d1b), safe_div(h5 * h5 - h2 * h2, d2b), d1b, d2b
+    )
+    f1 = jnp.sqrt(jnp.maximum(f1_sq, 0.0))
+    f0 = jnp.sqrt(jnp.maximum(f0_sq, 0.0))
+    f = jnp.where(
+        f0_ok & f1_ok,
+        jnp.sqrt(jnp.maximum(f0 * f1, 0.0)),
+        jnp.where(f0_ok, f0, f1),
+    )
+    return f, (f0_ok | f1_ok)
+
+
 def homography_to_focal(H):
     """Closed-form focal from a homography (unit-plane, centered pp).
 
