@@ -101,15 +101,32 @@ def run(C=8, F=1000, vis_frac=0.75):
     lo = jnp.asarray(np.tile([0, 0, 0, 0, 1e-6, 1e-6], (C, 1)))
     hi = jnp.asarray(np.tile([1e4, 1e4, 512, 512, 1, 10], (C, 1)))
 
-    def solve():
-        # two-stage mixed precision: bulk descent in native f32, short f64
-        # polish — reproduces the pure-f64 solution (see solve.lm) while
-        # skipping most double-float-emulated iterations
-        return ba_solve_multi_mixed(
-            project_eucm, theta0, ext0, poses0, jnp.asarray(p3d),
-            jnp.asarray(p2d), jnp.asarray(w), lo, hi, jnp.ones((C, 6)),
-            jnp.asarray(cam_frame_valid), jnp.asarray(frame_valid),
-        )
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # multi-chip: frame-shard the joint solve over the device mesh
+        # (the CLI joint BA routes the same way; one psum per iteration)
+        from ccrs_tpu.parallel.mesh import multi_ba_sharded_mixed
+
+        print(f"sharding over {n_dev} devices", file=sys.stderr)
+
+        def solve():
+            return multi_ba_sharded_mixed(
+                project_eucm, theta0, ext0, poses0, jnp.asarray(p3d),
+                jnp.asarray(p2d), jnp.asarray(w), lo, hi, jnp.ones((C, 6)),
+                jnp.asarray(cam_frame_valid), jnp.asarray(frame_valid),
+            )
+
+    else:
+
+        def solve():
+            # two-stage mixed precision: bulk descent in native f32, short
+            # f64 polish — reproduces the pure-f64 solution (see solve.lm)
+            # while skipping most double-float-emulated iterations
+            return ba_solve_multi_mixed(
+                project_eucm, theta0, ext0, poses0, jnp.asarray(p3d),
+                jnp.asarray(p2d), jnp.asarray(w), lo, hi, jnp.ones((C, 6)),
+                jnp.asarray(cam_frame_valid), jnp.asarray(frame_valid),
+            )
 
     print("warmup/compile...", file=sys.stderr)
     res = solve()

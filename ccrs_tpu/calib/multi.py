@@ -19,7 +19,13 @@ from ..board import Board
 from ..models import GenericModel
 from ..models.projections import project_fn
 from ..solve import se3
-from ..solve.lm import LMOptions, ba_solve_multi, expand_theta, lm_solve, reduce_params
+from ..solve.lm import (
+    LMOptions,
+    ba_solve_multi_mixed,
+    expand_theta,
+    lm_solve,
+    reduce_params,
+)
 from ..types import RvecTvec
 from .frames import FrameBatch
 from .single import build_bounds, disabled_free_mask
@@ -142,7 +148,9 @@ def calib_all_camera_with_extrinsics(
     if cam0_fixed_focal:
         free[0, 0] = 0.0  # util.rs:664-667
 
-    res = ba_solve_multi(
+    import jax
+
+    args = (
         project_fn(name),
         jnp.asarray(theta0),
         jnp.asarray(ext0),
@@ -155,9 +163,15 @@ def calib_all_camera_with_extrinsics(
         jnp.asarray(free),
         jnp.asarray(cam_frame_valid),
         jnp.asarray(frame_valid),
-        one_focal=xy_same_focal,
-        huber_delta=1.0,
     )
+    if len(jax.devices()) > 1 and F >= len(jax.devices()):
+        # multi-chip: frame-sharded joint solve over the device mesh (one
+        # psum'd reduced system per LM iteration; SURVEY.md §5 stretch)
+        from ..parallel.mesh import multi_ba_sharded_mixed
+
+        res = multi_ba_sharded_mixed(*args, one_focal=xy_same_focal, huber_delta=1.0)
+    else:
+        res = ba_solve_multi_mixed(*args, one_focal=xy_same_focal, huber_delta=1.0)
     if not np.isfinite(float(res.cost)):
         return None
 

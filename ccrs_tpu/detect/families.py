@@ -31,7 +31,15 @@ _DATA = os.path.join(os.path.dirname(__file__), "data", "tag_families.npz")
 #: correct up to floor((N-1)/2) but stay conservative like apriltag defaults)
 _MAX_HAMMING = {"t16h5": 0, "t25h7": 1, "t25h9": 1, "t36h11": 2, "t36h11b1": 2}
 
-FAMILY_NAMES = ["t16h5", "t25h7", "t25h9", "t36h11", "t36h11b1"]
+#: The reference CLI also lists t25h7 (bin/camera_calibration.rs:31-33).  Its
+#: canonical 242-code table is not distributable here: it came from the
+#: original AprilTag's non-reproducible randomized search (and OpenCV dropped
+#: the family upstream), so a freshly generated lexicode table would NOT
+#: decode real printed tag25h7 targets — strictly worse than refusing.  The
+#: name is therefore NOT advertised; users with the table can construct a
+#: ``TagFamily(name="t25h7", size=5, border=2, codes=..., max_hamming=1)``
+#: and pass it to TagDetector directly.
+FAMILY_NAMES = ["t16h5", "t25h9", "t36h11", "t36h11b1"]
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -88,13 +96,14 @@ class TagFamily:
 
 @lru_cache(maxsize=None)
 def get_family(name: str) -> TagFamily:
+    if name == "t25h7":
+        raise ValueError(
+            "t25h7's canonical code table cannot be generated offline (see "
+            "FAMILY_NAMES note); construct a TagFamily with your own table "
+            "and pass it to TagDetector instead."
+        )
     if name not in FAMILY_NAMES:
         raise ValueError(f"unknown tag family {name!r}; expected one of {FAMILY_NAMES}")
-    if name == "t25h7":
-        raise NotImplementedError(
-            "t25h7 code table is not distributed with OpenCV (dropped upstream). "
-            "Supply a custom table via TagFamily(...) if you need it."
-        )
     data = np.load(_DATA)
     base = "t36h11" if name == "t36h11b1" else name
     codes = data[f"{base}_codes"]

@@ -139,6 +139,7 @@ def make_multi_ba_solver(
     one_focal: bool = False,
     huber_delta: float = 1.0,
     max_iters: int = 60,
+    rtol: float = 1e-14,
 ):
     """Build (and cache) a jitted FULL frame-sharded multi-camera joint BA.
 
@@ -158,7 +159,7 @@ def make_multi_ba_solver(
     """
     from ..solve.lm import LMOptions, expand_theta, huber_block_weight, huber_cost
 
-    opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta)
+    opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta, rtol=rtol)
 
     @jax.jit
     @partial(
@@ -360,6 +361,7 @@ def make_ba_solver(
     one_focal: bool = False,
     huber_delta: float = 1.0,
     max_iters: int = 60,
+    rtol: float = 1e-14,
 ):
     """Build (and cache) a jitted FULL frame-sharded LM solve.
 
@@ -378,7 +380,7 @@ def make_ba_solver(
     """
     from ..solve.lm import LMOptions, expand_theta, huber_block_weight, huber_cost
 
-    opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta)
+    opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta, rtol=rtol)
 
     @jax.jit
     @partial(
@@ -487,3 +489,93 @@ def make_ba_solver(
         return theta, poses, cost, it
 
     return solve
+
+
+# --------------------------------------------------------------------------
+# product entry point: sharded mixed-precision joint BA
+# --------------------------------------------------------------------------
+
+
+def multi_ba_sharded_mixed(
+    project_fn,
+    theta0,
+    ext0,
+    poses0,
+    p3d,
+    p2d,
+    w,
+    lo,
+    hi,
+    free,
+    cam_frame_valid,
+    frame_valid,
+    one_focal: bool = False,
+    huber_delta: float = 1.0,
+    max_iters: int = 60,
+    polish_iters: int = 12,
+    mesh: Mesh | None = None,
+):
+    """Frame-sharded, mixed-precision joint multi-camera BA over ALL
+    visible devices — the multi-chip twin of ``solve.lm
+    .ba_solve_multi_mixed`` that the CLI joint BA and bench_multicam route
+    through when ``len(jax.devices()) > 1`` (single-chip callers keep the
+    unsharded solver; semantics identical, one psum per LM iteration).
+
+    Accepts the exact argument layout of ``ba_solve_multi`` with the frame
+    axis unpadded; pads F to a mesh multiple (padding frames carry zero
+    frame_valid/weight) and places the frame-axis arrays with the mesh
+    sharding so each device owns a contiguous frame shard.
+
+    Returns a ``MultiBAResult`` with poses cropped back to F.
+    """
+    from ..solve.lm import MultiBAResult
+
+    if mesh is None:
+        mesh = make_mesh()
+    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    F = poses0.shape[0]
+    pad = (-F) % D
+    if pad:
+        poses0 = jnp.pad(poses0, ((0, pad), (0, 0)))
+        frame_valid = jnp.pad(frame_valid, (0, pad))
+        p2d = jnp.pad(p2d, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
+        cam_frame_valid = jnp.pad(cam_frame_valid, ((0, 0), (0, pad)))
+    sh_f = sharded_frame_sharding(mesh)
+    sh_cf = NamedSharding(mesh, P(None, FRAME_AXIS))
+
+    f32 = jnp.float32
+    s1 = make_multi_ba_solver(
+        project_fn, mesh, one_focal, huber_delta, max_iters, rtol=1e-6
+    )(
+        jnp.asarray(theta0, f32),
+        jnp.asarray(ext0, f32),
+        jax.device_put(jnp.asarray(poses0, f32), sh_f),
+        jnp.asarray(p3d, f32),
+        jax.device_put(jnp.asarray(p2d, f32), sh_cf),
+        jax.device_put(jnp.asarray(w, f32), sh_cf),
+        jnp.asarray(lo, f32),
+        jnp.asarray(hi, f32),
+        jnp.asarray(free, f32),
+        jax.device_put(jnp.asarray(cam_frame_valid, f32), sh_cf),
+        jax.device_put(jnp.asarray(frame_valid, f32), sh_f),
+    )
+    th1, ex1, po1, _, it1 = s1
+    dt = theta0.dtype
+    s2 = make_multi_ba_solver(
+        project_fn, mesh, one_focal, huber_delta, polish_iters
+    )(
+        jnp.asarray(th1, dt),
+        jnp.asarray(ex1, dt),
+        jnp.asarray(po1, dt),
+        jnp.asarray(p3d, dt),
+        jax.device_put(jnp.asarray(p2d, dt), sh_cf),
+        jax.device_put(jnp.asarray(w, dt), sh_cf),
+        jnp.asarray(lo, dt),
+        jnp.asarray(hi, dt),
+        jnp.asarray(free, dt),
+        jax.device_put(jnp.asarray(cam_frame_valid, dt), sh_cf),
+        jax.device_put(jnp.asarray(frame_valid, dt), sh_f),
+    )
+    th, ex, po, cost, it2 = s2
+    return MultiBAResult(th, ex, po[:F], cost, it1 + it2)

@@ -31,5 +31,11 @@ def test_small_families():
 
 
 def test_t25h7_unavailable():
-    with pytest.raises(NotImplementedError):
+    # t25h7 is intentionally NOT advertised (its canonical table cannot be
+    # regenerated offline; see detect/families.py) and must fail loudly
+    # with a pointer to the custom-TagFamily escape hatch.
+    from ccrs_tpu.detect.families import FAMILY_NAMES
+
+    assert "t25h7" not in FAMILY_NAMES
+    with pytest.raises(ValueError, match="t25h7"):
         get_family("t25h7")

@@ -157,3 +157,48 @@ def test_full_sharded_solve_matches_single_device():
     np.testing.assert_allclose(np.asarray(th), np.asarray(ref.theta), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(po)[:F], np.asarray(ref.poses), atol=1e-8)
     np.testing.assert_allclose(np.asarray(th), gt, rtol=1e-8)
+
+
+def test_sharded_mixed_matches_single_device_mixed():
+    """multi_ba_sharded_mixed (the CLI's multi-device joint-BA route) ==
+    ba_solve_multi_mixed, including the F-padding path (F=18 on 8 devs)."""
+    from ccrs_tpu.parallel.mesh import multi_ba_sharded_mixed
+    from ccrs_tpu.solve.lm import ba_solve_multi_mixed
+
+    gt, p3d, poses_gt, p2d0 = _case(F=18, seed=5)
+    C, F, N = 2, p2d0.shape[0], p2d0.shape[1]
+    ext_gt = np.array([[0.0] * 6, [0.01, -0.02, 0.004, -0.1, 0.003, 0.001]])
+    gt1 = gt * np.array([1.012, 1.003, 0.999, 1.001, 0.98, 1.01])
+    p2d = np.zeros((C, F, N, 2))
+    p2d[0] = p2d0
+    for f in range(F):
+        rv, tv = se3.compose(
+            jnp.asarray(ext_gt[1, :3]), jnp.asarray(ext_gt[1, 3:]),
+            jnp.asarray(poses_gt[f, :3]), jnp.asarray(poses_gt[f, 3:]),
+        )
+        pc = p3d @ np.asarray(se3.exp_so3(rv)).T + np.asarray(tv)
+        p2d[1, f] = np.asarray(project_eucm(jnp.asarray(gt1), jnp.asarray(pc))[0])
+    theta0 = jnp.asarray(np.stack([gt * 1.02, gt1 * 0.985]))
+    ext0 = jnp.asarray(ext_gt + np.array([[0.0] * 6, [1e-3] * 6]))
+    poses0 = jnp.asarray(poses_gt + 0.002)
+    w = jnp.ones((C, F, N))
+    lo = jnp.asarray(np.tile([0.0, 0.0, 0.0, 0.0, 1e-6, 1e-6], (C, 1)))
+    hi = jnp.asarray(np.tile([1e4, 1e4, 512.0, 512.0, 1.0, 10.0], (C, 1)))
+    free = jnp.ones((C, 6))
+    cfv = jnp.ones((C, F))
+    fv = jnp.ones(F)
+
+    ref = ba_solve_multi_mixed(
+        project_eucm, theta0, ext0, poses0, jnp.asarray(p3d), jnp.asarray(p2d),
+        w, lo, hi, free, cfv, fv,
+    )
+    res = multi_ba_sharded_mixed(
+        project_eucm, theta0, ext0, poses0, jnp.asarray(p3d), jnp.asarray(p2d),
+        w, lo, hi, free, cfv, fv,
+    )
+    assert res.poses.shape == (F, 6)
+    # both land on the same f64 optimum (noiseless problem: ground truth)
+    np.testing.assert_allclose(np.asarray(res.theta), np.asarray(ref.theta), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.ext), np.asarray(ref.ext), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.theta[0]), gt, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.theta[1]), gt1, rtol=1e-6)
