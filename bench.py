@@ -45,7 +45,8 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     import jax.random as jr
 
     from ccrs_tpu.board import create_default_6x6_board
-    from ccrs_tpu.calib import init_and_calibrate_one_camera, validation
+    from ccrs_tpu.calib import validation
+    from ccrs_tpu.calib.pipeline import calibrate_camera_with_retries
     from ccrs_tpu.calib.frames import FrameBatch
     from ccrs_tpu.detect import TagDetector, get_family
     from ccrs_tpu.models import GenericModel, zeros_like_model
@@ -96,7 +97,11 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     def pipeline(key):
         dets = detector.detect_batch(imgs, board=board, dev_images=dev_imgs)
         batch = FrameBatch.from_detections(dets, times, board, size, size)
-        result = init_and_calibrate_one_camera(
+        # the product retry ladder (random frame re-pick on failure), same
+        # as the CLI: the best-two-frame heuristic can land on a pair that
+        # is focal-degenerate (pure-translation-like), which the reference
+        # handles identically (bin/camera_calibration.rs:217-242)
+        result = calibrate_camera_with_retries(
             board, batch, zeros_like_model("eucm"), CalibParams(), key
         )
         assert result is not None, "calibration failed"

@@ -53,6 +53,18 @@ def init_and_calibrate_one_camera(
             if initial_camera is not None:
                 break
             log.info("initialization attempt %d failed, retrying", i)
+            if i >= 2:
+                # Robustness improvement over the reference (which burns
+                # all 10 attempts on the same pair, util.rs:855-863): a
+                # deterministic failure mode — e.g. a focal-degenerate
+                # near-pure-translation pair — cannot be fixed by a new
+                # RANSAC key, so re-pick the frames after 3 failures.
+                if rng is None:
+                    rng = np.random.default_rng(
+                        int(jax.random.randint(sub, (), 0, 2**31 - 1))
+                    )
+                frame0, frame1 = find_best_two_frames(batch, True, rng)
+                log.info("re-picked init frames: %d, %d", frame0, frame1)
     if initial_camera is None or initial_camera.params[0] == 0.0:
         log.warning("calibration failed: could not initialize UCM")
         return None
