@@ -39,6 +39,17 @@ Corner positions land within ~1 px of the C++ contour/line-fit corners;
 the downstream structure-tensor subpixel refinement (detect/refine.py)
 absorbs that before decode.  Supports images up to 2048 px a side (the
 packing asserts statically).
+
+STATUS — experimental, not the default detect path.  Measured on a real
+TPU v5 lite (remote backend), (64, 512, 512): ``label_components`` 2.18 s,
+``extract_quads_device`` 5.79 s per chunk — XLA's ``associative_scan``
+lowering is ~30x off the HBM-bandwidth roofline for these segmented int32
+scans, so the host path (packed-bitmap download + native C++ CCL,
+~0.18 s/chunk including link time) stays the default.  The algorithm and
+tests are kept as the correctness reference for a future Pallas kernel
+(sequential in-row scans in VMEM would remove the log-depth
+materialization that kills the XLA version); equivalence with the C++
+extractor is pinned by tests/test_ccl.py.
 """
 
 from __future__ import annotations
@@ -62,6 +73,7 @@ def _seg_scan_axis(vals, black, axis, combine_max: bool):
     spans containing a segment boundary, so left context stops there.
     White pixels are their own (neutral-valued) segments.
     """
+    axis = axis % vals.ndim  # lax.rev (reverse=True) rejects negative axes
     info = jnp.iinfo(jnp.int32)
     neutral = info.min if combine_max else info.max
     v = jnp.where(black, vals, neutral)
@@ -208,9 +220,11 @@ def extract_quads_device(
 
     # ---- 3. roots + per-frame compaction ---------------------------------
     # bbox from the axis-aligned channels: dir 0 = x, dir D/2 = y
-    xmax, xmin = pmax[(0, 1)], -pmax[(0, -1)]
+    # (pmax[(d, -1)] already holds the MIN projection: the -1 channel
+    # propagates max(-proj) and pr multiplies the sign back)
+    xmax, xmin = pmax[(0, 1)], pmax[(0, -1)]
     d_y = n_dirs // 2
-    ymax, ymin = pmax[(d_y, 1)], -pmax[(d_y, -1)]
+    ymax, ymin = pmax[(d_y, 1)], pmax[(d_y, -1)]
     bw = xmax - xmin + 1.0
     bh = ymax - ymin + 1.0
     aspect = jnp.maximum(bw / jnp.maximum(bh, 1e-6), bh / jnp.maximum(bw, 1e-6))
