@@ -115,6 +115,11 @@ def _try_init_device(
 
     Returns (params (5,) full UCM, ok flag).
     """
+    # NOTE: an f32 front-end (RANSAC/PnP/stage-1 in native f32 before the
+    # mixed-precision stage 2) was tried and CRASHES the remote XLA TPU
+    # compiler (SIGABRT, "Check failed: buffer != nullptr" in the
+    # TransposeFolding HLO pass) — keep this graph f64 until that compiler
+    # bug is gone; the init is one dispatch and not the bottleneck.
     dtype = q0.dtype
     lam, Hm, score = radial_distortion_homography(key, q0, q1, pair_mask)
     f_unit, f_ok = homography_to_focal_traced(Hm)
@@ -138,7 +143,8 @@ def _try_init_device(
     poses0 = jnp.concatenate([r, t], axis=1)
 
     # stage 1: reduced UCM theta = [f, cx, cy, alpha], cx/cy frozen at the
-    # image center, f bounded to [f/3, 3f] (util.rs:345-346)
+    # image center, f bounded to [f/3, 3f] (util.rs:345-346); loose rtol —
+    # it only seeds stage 2
     half_w, half_h = wh[0] / 2.0, wh[1] / 2.0
     theta0 = jnp.stack([init_f, half_w, half_h, init_alpha])
     lo1 = jnp.stack([init_f / 3.0, jnp.zeros_like(init_f), jnp.zeros_like(init_f), jnp.asarray(1e-6, dtype)])
@@ -146,7 +152,7 @@ def _try_init_device(
     free1 = jnp.asarray([0.0 if fixed_focal is not None else 1.0, 0.0, 0.0, 1.0], dtype)
     res1 = ba_solve(
         project_ucm, theta0, poses0, p3d, p2d, w2, lo1, hi1, free1,
-        jnp.ones(2, dtype), one_focal=True, huber_delta=1.0,
+        jnp.ones(2, dtype), one_focal=True, huber_delta=1.0, rtol=1e-6,
     )
     params1 = expand_theta(res1.theta, True)  # (5,) full UCM
 
