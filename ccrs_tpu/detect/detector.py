@@ -201,10 +201,25 @@ class TagDetector:
                 # bridges survive a single erosion); the second level is
                 # derived on host (white dilation of level 1) and its
                 # duplicates dropped before the decode bucket.
-                b2 = _dilate_white_host(b1)
                 half = self.max_quads // 2
                 q1, c1 = extract_quads_batch(b1, max_quads=half)
-                q2, c2 = extract_quads_batch(b2, max_quads=half)
+                # level 2 exists to split tags that the first erosion left
+                # bridged into crosses — which collapses the level-1 quad
+                # count far below the board size.  Frames whose level-1
+                # count already reaches the full tag count skip it (the
+                # single host core pays ~2.3 ms/frame/level).
+                q2 = np.zeros_like(q1)
+                c2 = np.zeros_like(c1)
+                need = (
+                    np.flatnonzero(c1 < board.n_tags)
+                    if board is not None
+                    else np.arange(b1.shape[0])
+                )
+                if need.size:
+                    b2 = _dilate_white_host(b1[need])
+                    q2n, c2n = extract_quads_batch(b2, max_quads=half)
+                    q2[need] = q2n
+                    c2[need] = c2n
                 quads, counts = _dedup_levels(q1, c1, q2, c2, self.max_quads)
             with stage("detect/dispatch"):
                 # compact the (C, K) quad buffer (mostly padding) to a
