@@ -210,7 +210,7 @@ def make_multi_ba_solver(
             return jax.lax.psum(total, FRAME_AXIS)
 
         def body(state):
-            theta, ext, poses, lam, cost, it, done = state
+            theta, ext, poses, lam, cost, it, done, rej, acc_any = state
             # device-local partial sums over this shard's frames
             U = jnp.zeros((M, M), dtype)
             g_x = jnp.zeros((M,), dtype)
@@ -315,7 +315,15 @@ def make_multi_ba_solver(
             gsmall = gmax <= 1e-9 * jnp.maximum(cost, 1.0)
             converged = (accept & rel_small) | gsmall
             cost = jnp.where(accept, c_new, cost)
-            return theta, ext, poses, lam, cost, it + 1, done | converged
+            rej = jnp.where(accept, 0, rej + 1)
+            acc_any = acc_any | accept
+            stall = rej >= jnp.where(
+                acc_any, opts.max_rejects, 3 * opts.max_rejects
+            )
+            return (
+                theta, ext, poses, lam, cost, it + 1,
+                done | converged | stall, rej, acc_any,
+            )
 
         def cond(state):
             return (~state[6]) & (state[5] < max_iters)
@@ -324,8 +332,11 @@ def make_multi_ba_solver(
         state = (
             theta0, ext0, poses0, jnp.asarray(opts.lam0, dtype),
             cost_of(theta0, ext0, poses0), 0, jnp.asarray(False),
+            jnp.asarray(0), jnp.asarray(False),
         )
-        theta, ext, poses, _, cost, it, _ = jax.lax.while_loop(cond, body, state)
+        theta, ext, poses, _, cost, it, _, _, _ = jax.lax.while_loop(
+            cond, body, state
+        )
         return theta, ext, poses, cost, it
 
     return solve
@@ -410,7 +421,7 @@ def make_ba_solver(
             return jax.lax.psum(local, FRAME_AXIS)
 
         def body(state):
-            theta, poses, lam, cost, it, done = state
+            theta, poses, lam, cost, it, done, rej, acc_any = state
 
             def frame_jac(pose, p2d_f):
                 Jt, Jp = jax.jacfwd(frame_residual, argnums=(0, 1))(
@@ -475,7 +486,15 @@ def make_ba_solver(
                 cost - c_new <= opts.rtol * jnp.maximum(cost, 1e-300)
             )
             cost = jnp.where(accept, c_new, cost)
-            return theta, poses, lam, cost, it + 1, done | converged
+            rej = jnp.where(accept, 0, rej + 1)
+            acc_any = acc_any | accept
+            stall = rej >= jnp.where(
+                acc_any, opts.max_rejects, 3 * opts.max_rejects
+            )
+            return (
+                theta, poses, lam, cost, it + 1, done | converged | stall,
+                rej, acc_any,
+            )
 
         def cond(state):
             return (~state[5]) & (state[4] < max_iters)
@@ -484,8 +503,11 @@ def make_ba_solver(
         state = (
             theta0, poses0, jnp.asarray(opts.lam0, dtype),
             cost_of(theta0, poses0), 0, jnp.asarray(False),
+            jnp.asarray(0), jnp.asarray(False),
         )
-        theta, poses, _, cost, it, _ = jax.lax.while_loop(cond, body, state)
+        theta, poses, _, cost, it, _, _, _ = jax.lax.while_loop(
+            cond, body, state
+        )
         return theta, poses, cost, it
 
     return solve

@@ -45,6 +45,14 @@ class LMOptions:
     lam_max: float = 1e10
     rtol: float = 1e-14  # relative cost decrease
     huber_delta: Optional[float] = 1.0  # None = plain L2
+    #: stall exit: the rtol test only fires on ACCEPTED steps, so once the
+    #: solver reaches its (dtype) cost floor every proposal is rejected
+    #: and the loop would burn the full max_iters recomputing Jacobians
+    #: (measured: the f32 stage plateaued at iter 3 of 60).  Exit after
+    #: this many CONSECUTIVE rejections once at least one step was
+    #: accepted (3x as many before any accept: early rejects can be a
+    #: legitimately-too-small lam0 warming up).
+    max_rejects: int = 5
 
 
 def huber_block_weight(r2, delta):
@@ -107,7 +115,7 @@ def lm_solve(
         return r, w, J  # r (B,d), w (B,), J (B,d,n)
 
     def body(state):
-        x, lam, cost, it, done = state
+        x, lam, cost, it, done, rej, acc_any = state
         r, w, J = jac_res(x)
         r2 = jnp.sum(r * r, axis=-1)
         wtot = w * huber_block_weight(r2, opts.huber_delta)
@@ -134,15 +142,20 @@ def lm_solve(
         )
         converged = accept & (cost - c_new <= opts.rtol * jnp.maximum(cost, 1e-300))
         cost = jnp.where(accept, c_new, cost)
-        return x, lam, cost, it + 1, done | converged
+        rej = jnp.where(accept, 0, rej + 1)
+        acc_any = acc_any | accept
+        stall = rej >= jnp.where(acc_any, opts.max_rejects, 3 * opts.max_rejects)
+        return x, lam, cost, it + 1, done | converged | stall, rej, acc_any
 
     def cond(state):
-        _, lam, _, it, done = state
-        return (~done) & (it < opts.max_iters)
+        return (~state[4]) & (state[3] < opts.max_iters)
 
     x0 = clamp(x0)
-    state = (x0, jnp.asarray(opts.lam0, x0.dtype), cost_of(x0), 0, jnp.asarray(False))
-    x, _, cost, it, _ = jax.lax.while_loop(cond, body, state)
+    state = (
+        x0, jnp.asarray(opts.lam0, x0.dtype), cost_of(x0), 0,
+        jnp.asarray(False), jnp.asarray(0), jnp.asarray(False),
+    )
+    x, _, cost, it, _, _, _ = jax.lax.while_loop(cond, body, state)
     return x, cost, it
 
 
@@ -238,7 +251,7 @@ def ba_solve(
         return r, Jt, Jp  # (N,2), (N,2,k), (N,2,6)
 
     def body(state):
-        theta, poses, lam, cost, it, done = state
+        theta, poses, lam, cost, it, done, rej, acc_any = state
         r, Jt, Jp = jax.vmap(frame_jacobians, in_axes=(None, 0, 0))(theta, poses, p2d)
         Jt = Jt * free[None, None, None, :]
         r2 = jnp.sum(r * r, axis=-1)
@@ -287,11 +300,13 @@ def ba_solve(
         )
         converged = accept & (cost - c_new <= opts.rtol * jnp.maximum(cost, 1e-300))
         cost = jnp.where(accept, c_new, cost)
-        return theta, poses, lam, cost, it + 1, done | converged
+        rej = jnp.where(accept, 0, rej + 1)
+        acc_any = acc_any | accept
+        stall = rej >= jnp.where(acc_any, opts.max_rejects, 3 * opts.max_rejects)
+        return theta, poses, lam, cost, it + 1, done | converged | stall, rej, acc_any
 
     def cond(state):
-        _, _, _, _, it, done = state
-        return (~done) & (it < max_iters)
+        return (~state[5]) & (state[4] < max_iters)
 
     theta0 = jnp.clip(theta0, lo, hi)
     state = (
@@ -301,8 +316,10 @@ def ba_solve(
         cost_of(theta0, poses0),
         0,
         jnp.asarray(False),
+        jnp.asarray(0),
+        jnp.asarray(False),
     )
-    theta, poses, _, cost, it, _ = jax.lax.while_loop(cond, body, state)
+    theta, poses, _, cost, it, _, _, _ = jax.lax.while_loop(cond, body, state)
     return BAResult(theta, poses, cost, it)
 
 
@@ -434,7 +451,7 @@ def ba_solve_multi(
         return total
 
     def body(state):
-        theta, ext, poses, lam, cost, it, done = state
+        theta, ext, poses, lam, cost, it, done, rej, acc_any = state
         U = jnp.zeros((M, M), dtype)
         g_x = jnp.zeros((M,), dtype)
         A = jnp.zeros((F, 6, 6), dtype)
@@ -529,7 +546,13 @@ def ba_solve_multi(
         gsmall = jnp.max(jnp.abs(g_x)) <= 1e-9 * jnp.maximum(cost, 1.0)
         converged = (accept & rel_small) | gsmall
         cost = jnp.where(accept, c_new, cost)
-        return theta, ext, poses, lam, cost, it + 1, done | converged
+        rej = jnp.where(accept, 0, rej + 1)
+        acc_any = acc_any | accept
+        stall = rej >= jnp.where(acc_any, opts.max_rejects, 3 * opts.max_rejects)
+        return (
+            theta, ext, poses, lam, cost, it + 1, done | converged | stall,
+            rej, acc_any,
+        )
 
     def cond(state):
         return (~state[6]) & (state[5] < max_iters)
@@ -543,8 +566,10 @@ def ba_solve_multi(
         cost_of(theta0, ext0, poses0),
         0,
         jnp.asarray(False),
+        jnp.asarray(0),
+        jnp.asarray(False),
     )
-    theta, ext, poses, _, cost, it, _ = jax.lax.while_loop(cond, body, state)
+    theta, ext, poses, _, cost, it, _, _, _ = jax.lax.while_loop(cond, body, state)
     return MultiBAResult(theta, ext, poses, cost, it)
 
 
