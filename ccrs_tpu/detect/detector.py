@@ -123,7 +123,12 @@ class TagDetector:
         )
         self.refine = refine
         self.max_quads = max_quads
-        self.chunk = 64  # pipeline chunk (see detect_batch)
+        import os
+
+        # pipeline chunk (see detect_batch); CCRS_DETECT_CHUNK overrides
+        # for experiments — larger chunks mean fewer link syncs but less
+        # host/device overlap and bigger compiled graphs
+        self.chunk = int(os.environ.get("CCRS_DETECT_CHUNK", "64"))
         self._bucket = 256  # sticky decode bucket (grows in 256-quad steps,
         # never shrinks — a count hovering at a boundary must not flap the
         # compiled decode shape, and power-of-two doubling wasted up to
