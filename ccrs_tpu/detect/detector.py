@@ -172,7 +172,19 @@ class TagDetector:
         # Enqueue every chunk's threshold up front (dispatch is async), so
         # the packed-bitmap downloads of chunk i overlap the device work of
         # chunks i+1...
-        C = min(self.chunk, B)
+        #
+        # On accelerators the chunk shape is FIXED at self.chunk even for
+        # small batches (padding with repeated frames): every distinct
+        # shape costs a 30-90 s remote compile, so a 24-image dataset must
+        # reuse the same graphs as a 600-image one.  On CPU (tests,
+        # notebooks) compiles are cheap and small batches keep their
+        # natural size.
+        import jax
+
+        if jax.default_backend() == "cpu":
+            C = min(self.chunk, B)
+        else:
+            C = self.chunk
         n_chunks = (B + C - 1) // C
         dev_chunks, packed_chunks = [], []
         for ci in range(n_chunks):
