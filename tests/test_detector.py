@@ -252,3 +252,39 @@ def test_board_assist_recovers_tags(synth_view):
         if vis[tid * 4 + c]
     ]
     assert np.mean(errs) < 0.25 and np.max(errs) < 2.0
+
+
+def test_host_dilation_matches_device():
+    """_dilate_white_host == reduce_window(OR, 3x3, SAME) on the device."""
+    import jax
+    import jax.numpy as jnp
+
+    from ccrs_tpu.detect.detector import _dilate_white_host
+
+    rng = np.random.default_rng(3)
+    b1 = (rng.uniform(size=(3, 40, 48)) < 0.6).astype(np.uint8)
+    host = _dilate_white_host(b1)
+    dev = jax.lax.reduce_window(
+        jnp.asarray(b1, bool), False, jax.lax.bitwise_or,
+        (1, 3, 3), (1, 1, 1), "SAME",
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(host, np.asarray(dev))
+
+
+def test_fixed_chunk_padding_matches_natural(synth_view, monkeypatch):
+    """The accelerator branch pads small batches up to the chunk size;
+    results must match the natural-size path exactly."""
+    img, p2d, vis = synth_view
+    det_nat = TagDetector("t36h11")
+    ref = det_nat.detect_batch(np.asarray(img)[None])
+
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    det_pad = TagDetector("t36h11")
+    det_pad.chunk = 8  # keep the padded batch small on CPU
+    padded = det_pad.detect_batch(np.asarray(img)[None])
+    assert len(padded) == 1
+    assert set(padded[0]) == set(ref[0])
+    for tid in ref[0]:
+        np.testing.assert_allclose(padded[0][tid], ref[0][tid], atol=1e-5)
