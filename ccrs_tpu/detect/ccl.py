@@ -42,14 +42,15 @@ packing asserts statically).
 
 STATUS — experimental, not the default detect path.  Measured on a real
 TPU v5 lite (remote backend), (64, 512, 512): ``label_components`` 2.18 s,
-``extract_quads_device`` 5.79 s per chunk — XLA's ``associative_scan``
-lowering is ~30x off the HBM-bandwidth roofline for these segmented int32
-scans, so the host path (packed-bitmap download + native C++ CCL,
-~0.18 s/chunk including link time) stays the default.  The algorithm and
-tests are kept as the correctness reference for a future Pallas kernel
-(sequential in-row scans in VMEM would remove the log-depth
-materialization that kills the XLA version); equivalence with the C++
-extractor is pinned by tests/test_ccl.py.
+``extract_quads_device`` 5.79 s per chunk.  A hand-written Pallas kernel
+(whole image VMEM-resident, Hillis-Steele segmented scans via lane/sublane
+rolls, verified bit-identical) still takes 1.89 s for the labels alone —
+the cost is the TPU's cross-lane shuffle latency itself (O(log W) full-
+width rolls per scan), not XLA's lowering.  Segmented scans are simply
+hostile to this vector architecture, so the host path (packed-bitmap
+download + native C++ CCL, ~0.18 s/chunk including link time) stays the
+default, and this module is the tested correctness reference; equivalence
+with the C++ extractor is pinned by tests/test_ccl.py.
 """
 
 from __future__ import annotations
