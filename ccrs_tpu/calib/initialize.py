@@ -26,7 +26,6 @@ from ..board import Board
 from ..models import GenericModel
 from ..models.projections import project_ucm, unproject_ucm
 from ..solve.homography import (
-    homography_to_focal,
     homography_to_focal_traced,
     radial_distortion_homography,
 )

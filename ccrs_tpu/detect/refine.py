@@ -16,7 +16,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 WIN = 4  # half-window (9x9)
 ITERS = 6
