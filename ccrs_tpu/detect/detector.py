@@ -40,6 +40,17 @@ from .quads import MAX_QUADS, extract_quads_batch
 from .threshold import adaptive_threshold_packed, pad_to_tile
 
 
+import jax as _jax
+
+
+@_jax.jit
+def _pool2(images):
+    """2x2 mean pyramid level (device side); odd trailing rows/cols drop."""
+    B, H, W = images.shape
+    x = images[:, : H // 2 * 2, : W // 2 * 2].astype(jnp.float32)
+    return x.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+
+
 def _dilate_white_host(binary: np.ndarray) -> np.ndarray:
     """3x3 white dilation (= one more black erosion) of a (B, H, W) {0,1}
     uint8 batch on the host — exactly reduce_window(OR, 3x3, SAME) with
@@ -186,6 +197,18 @@ class TagDetector:
         else:
             C = self.chunk
         n_chunks = (B + C - 1) // C
+
+        # Large-image fast path: the pixel-proportional candidate stages
+        # (adaptive threshold, bitmap download, native CCL/contour quad
+        # extraction) run at HALF resolution when the image is >= 768 px a
+        # side — tags in that regime are >=~100 px, so a 2x2-mean pyramid
+        # level loses no candidates, while the download shrinks 4x and the
+        # single-core C++ stage sees 4x fewer pixels.  Subpixel refinement
+        # and decode bit-sampling always use the FULL-resolution frames
+        # (the extracted quads are scaled back below), so accuracy is
+        # unchanged.
+        scale = 2 if max(H, W) >= 768 else 1
+        sH, sW = H // scale, W // scale
         dev_chunks, packed_chunks = [], []
         for ci in range(n_chunks):
             lo = ci * C
@@ -193,10 +216,11 @@ class TagDetector:
             if part.shape[0] < C:  # pad final chunk to keep shapes static
                 reps = jnp.repeat(part[-1:], C - part.shape[0], axis=0)
                 part = jnp.concatenate([part, reps], axis=0)
-            padded, _, _ = pad_to_tile(part)
             dev_chunks.append(part)
+            small = _pool2(part) if scale == 2 else part
+            padded, _, _ = pad_to_tile(small)
             packed_chunks.append(adaptive_threshold_packed(padded))
-        pw = int(pad_to_tile(dev_all[:1])[0].shape[-1])
+        pw = int(pad_to_tile(dev_all[:1, :sH, :sW])[0].shape[-1])
 
         # Prefetch the packed bitmaps on a background thread: the link
         # download of chunk i+1 overlaps the host quad extraction of
@@ -211,8 +235,8 @@ class TagDetector:
         pending = []
         for ci in range(n_chunks):
             with stage("detect/threshold"):
-                packed = fetches[ci].result()  # (C, Hp, Wp/8)
-                b1 = np.unpackbits(packed, axis=-1, count=pw)[:, :H, :W]
+                packed = fetches[ci].result()  # (C, sHp, sWp/8)
+                b1 = np.unpackbits(packed, axis=-1, count=pw)[:, :sH, :sW]
             with stage("detect/quadproc"):
                 # both erosion levels (scale-dependent corner-square
                 # bridges survive a single erosion); the second level is
@@ -238,6 +262,22 @@ class TagDetector:
                     q2[need] = q2n
                     c2[need] = c2n
                 quads, counts = _dedup_levels(q1, c1, q2, c2, self.max_quads)
+                if scale == 2:
+                    # pyramid pixel (r, c) covers full-res [2r, 2r+1] x
+                    # [2c, 2c+1]; its center sits at 2x + 0.5
+                    quads = quads * 2.0 + 0.5
+                    # the erosion separation pass shrinks black blobs by
+                    # ~1 px per edge at the PYRAMID resolution (= 2 full px)
+                    # and the pooling blur adds ~1 more: measured ~4.5 px
+                    # inward corner bias vs ~1.4 px on the full-res path.
+                    # Pre-expand by the extra ~3 px along the outward
+                    # diagonal so the subpixel refinement (total shift
+                    # clamped to its 4 px window) starts inside its
+                    # capture radius.
+                    cen = quads.mean(axis=2, keepdims=True)
+                    d = quads - cen
+                    n = np.linalg.norm(d, axis=-1, keepdims=True)
+                    quads = quads + d / np.maximum(n, 1e-6) * 3.0
             with stage("detect/dispatch"):
                 # compact the (C, K) quad buffer (mostly padding) to a
                 # static bucket of real quads — ~3x fewer sampling gathers
