@@ -83,6 +83,15 @@ def _to_gray_f32(img: np.ndarray) -> np.ndarray:
     return img
 
 
+def _expand_quads(quads, px):
+    """Push each corner of (B, K, 4, 2) quads away from its quad center
+    by ``px`` (erosion-bias pre-compensation; see the scale-2 path)."""
+    cen = quads.mean(axis=2, keepdims=True)
+    d = quads - cen
+    n = np.linalg.norm(d, axis=-1, keepdims=True)
+    return quads + d / np.maximum(n, 1e-6) * px
+
+
 def _dedup_levels(q1, c1, q2, c2, max_quads):
     """Merge the two erosion levels' quads, dropping level-2 quads whose
     center falls within 0.7x an existing level-1 quad's mean radius
@@ -261,23 +270,24 @@ class TagDetector:
                     q2n, c2n = extract_quads_batch(b2, max_quads=half)
                     q2[need] = q2n
                     c2[need] = c2n
+                if scale == 2:
+                    # Erosion shrinks black blobs ~1 px per edge per
+                    # dilation at the PYRAMID resolution (2 full px) and
+                    # the pooling blur adds ~1 more: measured ~4.5 px
+                    # inward corner bias for level 1 (vs ~1.4 px on the
+                    # full-res path) and ~2 px more for the
+                    # doubly-eroded level 2.  Pre-expand along the
+                    # outward diagonal (in pyramid units, before the
+                    # center-based dedup) so the subpixel refinement
+                    # (total shift clamped to its 4 px window) starts
+                    # inside its capture radius.
+                    q1 = _expand_quads(q1, 1.5)
+                    q2 = _expand_quads(q2, 2.75)
                 quads, counts = _dedup_levels(q1, c1, q2, c2, self.max_quads)
                 if scale == 2:
                     # pyramid pixel (r, c) covers full-res [2r, 2r+1] x
                     # [2c, 2c+1]; its center sits at 2x + 0.5
                     quads = quads * 2.0 + 0.5
-                    # the erosion separation pass shrinks black blobs by
-                    # ~1 px per edge at the PYRAMID resolution (= 2 full px)
-                    # and the pooling blur adds ~1 more: measured ~4.5 px
-                    # inward corner bias vs ~1.4 px on the full-res path.
-                    # Pre-expand by the extra ~3 px along the outward
-                    # diagonal so the subpixel refinement (total shift
-                    # clamped to its 4 px window) starts inside its
-                    # capture radius.
-                    cen = quads.mean(axis=2, keepdims=True)
-                    d = quads - cen
-                    n = np.linalg.norm(d, axis=-1, keepdims=True)
-                    quads = quads + d / np.maximum(n, 1e-6) * 3.0
             with stage("detect/dispatch"):
                 # compact the (C, K) quad buffer (mostly padding) to a
                 # static bucket of real quads — ~3x fewer sampling gathers
