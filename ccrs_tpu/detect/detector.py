@@ -149,6 +149,11 @@ class TagDetector:
         # for experiments — larger chunks mean fewer link syncs but less
         # host/device overlap and bigger compiled graphs
         self.chunk = int(os.environ.get("CCRS_DETECT_CHUNK", "64"))
+        # images at least this wide/tall run candidate extraction on a
+        # half-res pyramid level (see detect_batch); tags below ~35 px
+        # full-res would degrade at half res, so the default only engages
+        # where tags are large by construction
+        self.pyramid_min_side = int(os.environ.get("CCRS_PYRAMID_MIN_SIDE", "768"))
         self._bucket = 256  # sticky decode bucket (grows in 256-quad steps,
         # never shrinks — a count hovering at a boundary must not flap the
         # compiled decode shape, and power-of-two doubling wasted up to
@@ -209,14 +214,14 @@ class TagDetector:
 
         # Large-image fast path: the pixel-proportional candidate stages
         # (adaptive threshold, bitmap download, native CCL/contour quad
-        # extraction) run at HALF resolution when the image is >= 768 px a
-        # side — tags in that regime are >=~100 px, so a 2x2-mean pyramid
-        # level loses no candidates, while the download shrinks 4x and the
-        # single-core C++ stage sees 4x fewer pixels.  Subpixel refinement
-        # and decode bit-sampling always use the FULL-resolution frames
-        # (the extracted quads are scaled back below), so accuracy is
-        # unchanged.
-        scale = 2 if max(H, W) >= 768 else 1
+        # extraction) run at HALF resolution when the image is >=
+        # pyramid_min_side px a side — tags in that regime are big enough
+        # that a 2x2-mean pyramid level loses no candidates, while the
+        # download shrinks 4x and the single-core C++ stage sees 4x fewer
+        # pixels.  Subpixel refinement and decode bit-sampling always use
+        # the FULL-resolution frames (the extracted quads are scaled back
+        # below), so accuracy is unchanged.
+        scale = 2 if max(H, W) >= self.pyramid_min_side else 1
         sH, sW = H // scale, W // scale
         dev_chunks, packed_chunks = [], []
         for ci in range(n_chunks):
