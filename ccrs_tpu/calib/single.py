@@ -91,7 +91,12 @@ def _calib_camera_device(
     """Whole single-camera calibration as ONE device graph:
     unproject -> planar-PnP pose init -> mixed-precision Schur LM bundle
     adjustment (f32 bulk descent + f64 polish; halves the dispatch
-    round-trips of calib_camera and skips most emulated-f64 iterations)."""
+    round-trips of calib_camera and skips most emulated-f64 iterations).
+
+    NOTE: running the pose init in f32 (it only seeds the solver) was
+    tried and hits the same remote-compiler SIGABRT as the f32 init
+    front-end (TransposeFolding "buffer != nullptr" — f32 eigh/QR inside
+    an f64 graph); keep it f64 until that compiler bug is gone."""
     poses0, frame_valid = _pose_init_core(unproj, params_full, p2d, mask, p3d)
     frame_valid = frame_valid * (jnp.sum(mask, axis=1) > 0)
     res = ba_solve_mixed(
