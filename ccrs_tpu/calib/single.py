@@ -94,9 +94,11 @@ def _calib_camera_device(
     round-trips of calib_camera and skips most emulated-f64 iterations).
 
     NOTE: running the pose init in f32 (it only seeds the solver) was
-    tried and hits the same remote-compiler SIGABRT as the f32 init
-    front-end (TransposeFolding "buffer != nullptr" — f32 eigh/QR inside
-    an f64 graph); keep it f64 until that compiler bug is gone."""
+    tried and crashes the remote XLA compiler (TransposeFolding "buffer
+    != nullptr" SIGABRT) — isolated further: f32 ``eigh`` crashes this
+    backend even in a standalone graph, while f32 Cholesky is fine
+    (which is why the mixed-precision LM stages work).  Keep
+    eigh-dependent stages (PnP DLT, RANSAC) in f64."""
     poses0, frame_valid = _pose_init_core(unproj, params_full, p2d, mask, p3d)
     frame_valid = frame_valid * (jnp.sum(mask, axis=1) > 0)
     res = ba_solve_mixed(
