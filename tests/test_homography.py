@@ -126,3 +126,30 @@ def test_focal_from_general_planar_homography_is_rough_init():
     fhat, ok = homography_to_focal(H)
     assert bool(ok)
     assert f_unit / 3 < float(fhat) < f_unit * 3, f"f {float(fhat)}"
+
+
+def test_focal_traced_matches_host():
+    """homography_to_focal_traced (used inside the fused init graph) must
+    agree with the host closed form on random homographies, including the
+    degenerate-selection branches."""
+    from ccrs_tpu.solve.homography import homography_to_focal_traced
+
+    rng = np.random.default_rng(7)
+    for k in range(200):
+        if k % 3 == 0:
+            # realistic K R K^-1 homographies
+            f = rng.uniform(100, 2000)
+            K = np.diag([f, f, 1.0])
+            a = rng.normal(size=3) * 0.4
+            th = np.linalg.norm(a)
+            w = a / max(th, 1e-9)
+            Wx = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+            R = np.eye(3) + np.sin(th) * Wx + (1 - np.cos(th)) * (Wx @ Wx)
+            H = K @ R @ np.linalg.inv(K)
+        else:
+            H = rng.normal(size=(3, 3))
+        f_host, ok_host = homography_to_focal(jnp.asarray(H))
+        f_tr, ok_tr = homography_to_focal_traced(jnp.asarray(H))
+        assert bool(ok_tr) == bool(ok_host), H
+        if ok_host:
+            np.testing.assert_allclose(float(f_tr), f_host, rtol=1e-10)
