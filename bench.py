@@ -170,11 +170,12 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
 
         rms_dev = rms_of(model, rtvecs)
         with jax.default_device(jax.devices("cpu")[0]):
-            model_cpu, rtvecs_cpu = calib_camera(
+            cpu_res = calib_camera(
                 board, batch, model, xy_same_focal=False,
                 disabled_distortions=0, fixed_focal=False,
             )
-        rms_cpu = rms_of(model_cpu, rtvecs_cpu)
+        assert cpu_res is not None, f"[{size}] host f64 re-solve failed"
+        rms_cpu = rms_of(*cpu_res)
         drift = abs(rms_dev - rms_cpu)
         assert drift < 1e-6, f"[{size}] f64 interchange drift {drift:.2e} px"
         print(

@@ -214,7 +214,8 @@ def decode_quads_compact(family: TagFamily, images, quads, qframe, qvalid):
 
 @partial(jax.jit, static_argnames=("family", "do_refine"))
 def refine_decode_fused(
-    family: TagFamily, images, quads, qframe, qvalid, do_refine: bool = True
+    family: TagFamily, images, quads, qframe, qvalid, do_refine: bool = True,
+    sharp=None,
 ):
     """ONE device graph for the whole post-threshold detect path:
     patch gather -> subpixel corner refine -> unsharp -> bit-sample decode.
@@ -226,13 +227,17 @@ def refine_decode_fused(
     whose only downloads are the (Q,)-sized decode outputs.
 
     Args:
-      images: (B, H, W) uint8/f32 ORIGINAL (un-sharpened) frames; the
-        decode-sampling unsharp mask is applied inside.
+      images: (B, H, W) uint8/f32 ORIGINAL (un-sharpened) frames; corner
+        refinement samples these directly.
       quads / qframe / qvalid: compact candidate list as in
         decode_quads_compact.
+      sharp: optional pre-sharpened (B, H, W) f32 frames for the decode
+        bit sampling — pass the previous call's ``out["sharp"]`` (a
+        device-resident array) so a follow-up decode on the same chunk
+        (the board-assist pass) skips recomputing the unsharp mask.
 
-    Returns the decode dict plus "quads": the refined (Q, 4, 2) corners
-    in traversal order (assist reuses them for its own bookkeeping).
+    Returns the decode dict plus "sharp": the sharpened frames (device
+    array; not downloaded unless fetched).
     """
     from .patches import extract_patches
     from .refine import refine_patches
@@ -244,6 +249,8 @@ def refine_decode_fused(
         patches, local, offset = extract_patches(images, corners, cframe)
         refined = refine_patches(patches, local) + offset
         quads = refined.reshape(quads.shape)
-    out = _decode_core(family, unsharp(images), quads, qframe, qvalid)
-    out["quads"] = quads
+    if sharp is None:
+        sharp = unsharp(images)
+    out = _decode_core(family, sharp, quads, qframe, qvalid)
+    out["sharp"] = sharp
     return out

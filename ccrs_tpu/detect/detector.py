@@ -258,18 +258,37 @@ class TagDetector:
                 # duplicates dropped before the decode bucket.
                 half = self.max_quads // 2
                 q1, c1 = extract_quads_batch(b1, max_quads=half)
-                # level 2 exists to split tags that the first erosion left
-                # bridged into crosses — which collapses the level-1 quad
-                # count far below the board size.  Frames whose level-1
-                # count already reaches the full tag count skip it (the
-                # single host core pays ~2.3 ms/frame/level).
+                # Level 2 exists to split tags that the first erosion left
+                # bridged into crosses — a LARGE-tag phenomenon (the
+                # corner-square bridges grow with tag scale; measured to
+                # appear around ~140 px tags, commit "dual-erosion").  A
+                # frame may skip the second native pass (the single host
+                # core pays ~2.3 ms/frame/level) only when BOTH hold:
+                # level-1 already yielded >= n_tags candidates AND every
+                # candidate is small-tag-regime sized — real imagery has
+                # background clutter that inflates the count alone
+                # (measured: euroc.png 99 / tum_vi 86 candidates for 36
+                # tags), so the count by itself must never gate the pass.
                 q2 = np.zeros_like(q1)
                 c2 = np.zeros_like(c1)
-                need = (
-                    np.flatnonzero(c1 < board.n_tags)
-                    if board is not None
-                    else np.arange(b1.shape[0])
-                )
+                if board is None:
+                    need = np.arange(b1.shape[0])
+                else:
+                    big_area = (100.0 / scale) ** 2  # ~100 px tag side
+                    need_l = []
+                    for b in range(b1.shape[0]):
+                        n1 = int(c1[b])
+                        if n1 < board.n_tags:
+                            need_l.append(b)
+                            continue
+                        x = q1[b, :n1, :, 0]
+                        y = q1[b, :n1, :, 1]
+                        a2 = np.einsum(
+                            "qn,qn->q", x, np.roll(y, -1, 1)
+                        ) - np.einsum("qn,qn->q", np.roll(x, -1, 1), y)
+                        if 0.5 * np.abs(a2).max() >= big_area:
+                            need_l.append(b)
+                    need = np.asarray(need_l, np.int64)
                 if need.size:
                     b2 = _dilate_white_host(b1[need])
                     q2n, c2n = extract_quads_batch(b2, max_quads=half)
@@ -356,6 +375,10 @@ class TagDetector:
                             self.family, dev_chunks[ci], jnp.asarray(aq),
                             jnp.asarray(af), jnp.asarray(av),
                             do_refine=self.refine,
+                            # reuse the primary pass's device-resident
+                            # sharpened frames (skips a second unsharp
+                            # over the whole chunk)
+                            sharp=out["sharp"],
                         )
                         assist_pending.append((ci, cand, aout))
 

@@ -534,7 +534,7 @@ def multi_ba_sharded_mixed(
     one_focal: bool = False,
     huber_delta: float = 1.0,
     max_iters: int = 60,
-    polish_iters: int = 12,
+    polish_iters: int = 10,  # matches ba_solve_multi_mixed
     mesh: Mesh | None = None,
 ):
     """Frame-sharded, mixed-precision joint multi-camera BA over ALL

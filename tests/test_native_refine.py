@@ -41,3 +41,38 @@ def test_native_refine_batch_indexing():
     out = refine_corners_native(np.stack([img0, img1]), init.copy())
     assert abs(out[0, 0, 0] - 47.5) < 0.1
     assert abs(out[1, 0, 0] - 51.5) < 0.1  # shifted image -> shifted corner
+
+
+def test_refine_patches_matches_native_and_truth():
+    """The production KLT-style patch refinement (detect/refine.py
+    refine_patches — runs inside every fused decode graph) must land on
+    the true saddle corner and agree with the native patch kernel.
+
+    The two discretize the window sums differently (refine_patches
+    smooths the gradient products before interpolation, the native kernel
+    interpolates gradients then multiplies), so they agree to ~0.05 px —
+    well under the detector's noise floor — rather than bit-exactly."""
+    from ccrs_tpu.detect.patches import extract_patches
+    from ccrs_tpu.detect.quads import refine_corners_patches_native
+    from ccrs_tpu.detect.refine import refine_patches
+
+    img = _checkerboard()
+    rng = np.random.default_rng(1)
+    base = np.array(
+        [[x, y] for x in (32, 48, 64, 80) for y in (32, 48, 64, 80)], np.float32
+    )
+    init = (base + rng.uniform(-1.5, 1.5, base.shape)).astype(np.float32)
+    patches, local, offset = extract_patches(
+        jnp.asarray(img[None]), jnp.asarray(init),
+        jnp.zeros(len(init), jnp.int32),
+    )
+    ours = np.asarray(refine_patches(patches, local)) + np.asarray(offset)
+    nat = refine_corners_patches_native(
+        np.asarray(patches, np.float32), np.asarray(local)
+    ) + np.asarray(offset)
+    # true saddle points are the integer grid crossings (pixel-center
+    # convention puts the blurred saddle at cell boundary - 0.5)
+    truth = base - 0.5
+    assert np.abs(ours - truth).max() < 0.08, np.abs(ours - truth).max()
+    assert np.abs(nat - truth).max() < 0.08
+    np.testing.assert_allclose(ours, nat, atol=0.06)
