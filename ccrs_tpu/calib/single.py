@@ -93,12 +93,11 @@ def _calib_camera_device(
     adjustment (f32 bulk descent + f64 polish; halves the dispatch
     round-trips of calib_camera and skips most emulated-f64 iterations).
 
-    NOTE: running the pose init in f32 (it only seeds the solver) was
-    tried and crashes the remote XLA compiler (TransposeFolding "buffer
-    != nullptr" SIGABRT) — isolated further: f32 ``eigh`` crashes this
-    backend even in a standalone graph, while f32 Cholesky is fine
-    (which is why the mixed-precision LM stages work).  Keep
-    eigh-dependent stages (PnP DLT, RANSAC) in f64."""
+    The pose init stays in f64: an f32 variant (now compilable since the
+    PnP became Cholesky-only and its GN polish carries the rotation as a
+    matrix) measurably degraded the final optimum — median reprojection
+    rose 0.130 -> 0.149 px and the bench's f64 interchange gate blew up,
+    because the f64 polish budget is sized for f64-quality seeds."""
     poses0, frame_valid = _pose_init_core(unproj, params_full, p2d, mask, p3d)
     frame_valid = frame_valid * (jnp.sum(mask, axis=1) > 0)
     res = ba_solve_mixed(
