@@ -61,3 +61,43 @@ def test_batched_frames():
     for i, (_, _, rvec, tvec) in enumerate(cases):
         np.testing.assert_allclose(np.asarray(r[i]), rvec, atol=1e-7)
         np.testing.assert_allclose(np.asarray(t[i]), tvec, atol=1e-7)
+
+
+def test_smallest_eigvec_matches_eigh():
+    """Cholesky inverse iteration == eigh's smallest eigenvector (up to
+    sign) across random PSD spectra, including a near-null direction."""
+    from ccrs_tpu.solve.pnp import _smallest_eigvec
+
+    rng = np.random.default_rng(11)
+    for k in range(20):
+        lam = np.sort(rng.uniform(0.1, 10.0, 9))
+        lam[0] = rng.uniform(0, 1e-8)  # DLT-like near-null direction
+        Q, _ = np.linalg.qr(rng.normal(size=(9, 9)))
+        S = (Q * lam) @ Q.T
+        v = np.asarray(_smallest_eigvec(jnp.asarray(S)))
+        w, V = np.linalg.eigh(S)
+        align = abs(float(v @ V[:, 0]))
+        assert align > 1.0 - 1e-9, (k, align)
+
+
+def test_project_so3_matches_svd():
+    """Newton polar iteration == SVD projection onto SO(3) for
+    near-rotation inputs (the Zhang-decomposition regime)."""
+    from ccrs_tpu.solve.pnp import _project_so3
+
+    rng = np.random.default_rng(12)
+    for k in range(20):
+        a = rng.normal(size=3)
+        th = np.linalg.norm(a)
+        w = a / max(th, 1e-9)
+        Wx = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        R = np.eye(3) + np.sin(th) * Wx + (1 - np.cos(th)) * (Wx @ Wx)
+        Q = R + rng.normal(size=(3, 3)) * 0.05  # perturbed near-rotation
+        if np.linalg.det(Q) <= 0:
+            continue
+        got = np.asarray(_project_so3(jnp.asarray(Q)))
+        U, _, Vt = np.linalg.svd(Q)
+        D = np.diag([1.0, 1.0, np.linalg.det(U @ Vt)])
+        want = U @ D @ Vt
+        np.testing.assert_allclose(got, want, atol=1e-10)
+        np.testing.assert_allclose(got.T @ got, np.eye(3), atol=1e-12)
