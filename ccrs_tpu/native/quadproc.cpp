@@ -247,10 +247,21 @@ int quadproc_extract(const uint8_t* bin, int H, int W, float* quads,
     std::vector<Pt> stack;
     stack.reserve(4096);
 
-    // 1. 4-connected labeling of dark pixels
+    // 1. 4-connected labeling of dark pixels.  The seed scan visits every
+    // pixel; calibration frames are mostly white (1), so test 8 bytes at
+    // a time and skip all-white words (values are exactly {0,1}).
+    constexpr uint64_t WHITE8 = 0x0101010101010101ULL;
     for (int y = 0; y < H; ++y) {
         for (int x = 0; x < W; ++x) {
             size_t idx = (size_t)y * W + x;
+            while (x + 8 <= W) {
+                uint64_t w8;
+                std::memcpy(&w8, bin + idx, 8);
+                if (w8 != WHITE8) break;
+                x += 8;
+                idx += 8;
+            }
+            if (x >= W) break;
             if (bin[idx] != 0 || labels[idx] != 0) continue;
             int label = (int)comps.size();
             comps.push_back(Component());
