@@ -37,7 +37,10 @@ import time
 
 import numpy as np
 
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "128"))
+# headline runs the full north-star length (534-frame TUM-VI calib-cam1
+# regime, BASELINE.json); BENCH_FRAMES=48 for quick iteration
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "534"))
+N_FRAMES_1024 = int(os.environ.get("BENCH_FRAMES_1024", "128"))
 NORTH_STAR_FPS = 534 / 2.0
 
 
@@ -51,9 +54,9 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     from ccrs_tpu.detect import TagDetector, get_family
     from ccrs_tpu.models import GenericModel, zeros_like_model
     from ccrs_tpu.testdata import (
-        default_sequence_poses,
         render_board_image,
         render_frames_device,
+        smooth_sequence_poses,
     )
     from ccrs_tpu.types import CalibParams
     from ccrs_tpu.utils import profiling
@@ -68,7 +71,9 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     )
 
     print(f"[{size}] rendering {n_frames} frames...", file=sys.stderr)
-    poses = default_sequence_poses(n_frames, board, seed=11)
+    # continuous handheld-video trajectory — the regime of the reference's
+    # own acceptance dataset (TUM-VI calib video); see smooth_sequence_poses
+    poses = smooth_sequence_poses(n_frames, board, seed=11)
     # device-resident frames: rendered on device and never downloaded — the
     # detect stage's only link traffic is thresholded bitmaps + decode
     # outputs (the tunnel link, not the TPU, is this benchmark's bottleneck)
@@ -95,6 +100,8 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     times = list(range(n_frames))
 
     def pipeline(key):
+        # each run is an independent dataset pass: drop the video carry
+        detector.reset_tracking()
         dets = detector.detect_batch(imgs, board=board, dev_images=dev_imgs)
         batch = FrameBatch.from_detections(dets, times, board, size, size)
         # the product retry ladder (random frame re-pick on failure), same
@@ -182,22 +189,58 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
             f"[{size}] f64 gate ok: |rms_dev - rms_cpu| = {drift:.2e} px",
             file=sys.stderr,
         )
-    return n_frames / elapsed, warm, stages
+
+    # Honest host-image number (VERDICT r02 #2): the same frames fed from
+    # host memory, paying the host->device upload every real dataset run
+    # pays (PNG decode is excluded: it overlaps detection on loader
+    # threads in the product path, dataloader.py).  Reported alongside the
+    # device-resident headline; the gap is the tunnel-link upload cost
+    # (~20-70 MB/s here; local-NVMe v5e hosts don't see it — BASELINE.md).
+    fps_host = None
+    if (
+        collect_stages
+        and dev_imgs is not None
+        and os.environ.get("BENCH_SKIP_HOST", "") != "1"
+    ):
+        host_imgs = np.asarray(dev_imgs).astype(np.uint8)
+
+        def pipeline_host(key):
+            detector.reset_tracking()
+            dets = detector.detect_batch(host_imgs, board=board)
+            batch = FrameBatch.from_detections(dets, times, board, size, size)
+            result = calibrate_camera_with_retries(
+                board, batch, zeros_like_model("eucm"), CalibParams(), key
+            )
+            assert result is not None, "host-path calibration failed"
+            return batch, result
+
+        pipeline_host(jr.PRNGKey(0))  # warm any host-path-only graphs
+        best = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            pipeline_host(jr.PRNGKey(1))
+            dt = time.perf_counter() - t0
+            print(f"[{size}] host-image run {rep}: {dt:.2f}s", file=sys.stderr)
+            best = min(best, dt)
+        fps_host = n_frames / best
+    return n_frames / elapsed, warm, stages, fps_host
 
 
 def run():
-    fps_512, warm, stages = run_config(512, N_FRAMES, collect_stages=True)
+    fps_512, warm, stages, fps_host = run_config(512, N_FRAMES, collect_stages=True)
     fps_1024 = None
     if os.environ.get("BENCH_SKIP_1024", "") != "1":
-        fps_1024, _, _ = run_config(1024, N_FRAMES, collect_stages=False)
+        fps_1024, _, _, _ = run_config(1024, N_FRAMES_1024, collect_stages=False)
     out = {
-        "metric": "end-to-end detect+calibrate throughput (512x512 EUCM AprilGrid, TUM-VI-like synthetic)",
+        "metric": "end-to-end detect+calibrate throughput (512x512 EUCM AprilGrid, TUM-VI-like synthetic video, %d frames)" % N_FRAMES,
         "value": round(fps_512, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps_512 / NORTH_STAR_FPS, 4),
         "warmup_sec": round(warm, 1),
         "stages_sec": {k: round(v, 3) for k, v in sorted(stages.items())},
     }
+    if fps_host is not None:
+        out["fps_host"] = round(fps_host, 2)
     if fps_1024 is not None:
         out["fps_1024"] = round(fps_1024, 2)
     return out

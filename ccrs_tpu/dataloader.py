@@ -80,6 +80,8 @@ def _detect_sequence(
     order = np.argsort(np.asarray(times_ns, dtype=np.int64), kind="stable")
     paths = [paths[i] for i in order]
     times_ns = [times_ns[i] for i in order]
+    # each camera is an independent video: don't track across the boundary
+    detector.reset_tracking()
 
     detections = []
     width = height = None

@@ -187,6 +187,9 @@ def _decode_core(family: TagFamily, images, quads, qframe, qvalid):
         "rotation": rotation,
         "hamming": hamming,
         "valid": valid,
+        # exposed separately so id-matching callers (assist, tracking) can
+        # apply a relaxed hamming budget without losing the contrast gate
+        "contrast_ok": contrast_ok,
         "corners": corners,
     }
 

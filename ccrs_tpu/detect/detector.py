@@ -137,6 +137,7 @@ class TagDetector:
         max_quads: int = MAX_QUADS,
         native_refine: bool = True,  # kept for API compat; refinement now
         # always runs inside the fused device graph
+        track: bool | None = None,
     ):
         self.family: TagFamily = (
             family if isinstance(family, TagFamily) else get_family(family)
@@ -158,6 +159,134 @@ class TagDetector:
         # never shrinks — a count hovering at a boundary must not flap the
         # compiled decode shape, and power-of-two doubling wasted up to
         # ~70% of the refine/decode compute as padding)
+        # --- steady-state tracking (video fast path; see track.py) ---
+        # on by default when a board is supplied; CCRS_TRACK=0 disables
+        if track is None:
+            track = os.environ.get("CCRS_TRACK", "1") != "0"
+        self.track = track
+        # force a cold (full-pipeline) frame at least this often, bounding
+        # the staleness of the tracking fallback policy's occlusion memory
+        self.cold_every = int(os.environ.get("CCRS_TRACK_COLD_EVERY", "16"))
+        # cold-fallback group size: a small dedicated graph shape so
+        # correcting a few frames never pays a full-chunk threshold/CCL
+        self.cold_chunk = int(os.environ.get("CCRS_TRACK_COLD_CHUNK", "8"))
+        self._tstate = None
+
+    def reset_tracking(self) -> None:
+        """Drop the frame-to-frame tracking carry (call between cameras /
+        unrelated sequences; a stale carry only costs cold fallbacks, not
+        correctness)."""
+        self._tstate = None
+
+    # ----------------------------------------------------- shared helpers
+    def _extract_quads(self, b1, board, scale):
+        """Native quad extraction over a (C, sH, sW) binary batch: both
+        erosion levels, level-2 need heuristics, scale compensation and
+        dedup.  Returns (quads (C, max_quads, 4, 2) full-res px, counts)."""
+        half = self.max_quads // 2
+        q1, c1 = extract_quads_batch(b1, max_quads=half)
+        # Level 2 exists to split tags that the first erosion left
+        # bridged into crosses — a LARGE-tag phenomenon (the
+        # corner-square bridges grow with tag scale; measured to
+        # appear around ~140 px tags, commit "dual-erosion").  A
+        # frame may skip the second native pass (the single host
+        # core pays ~2.3 ms/frame/level) only when BOTH hold:
+        # level-1 already yielded >= n_tags candidates AND every
+        # candidate is small-tag-regime sized — real imagery has
+        # background clutter that inflates the count alone
+        # (measured: euroc.png 99 / tum_vi 86 candidates for 36
+        # tags), so the count by itself must never gate the pass.
+        q2 = np.zeros_like(q1)
+        c2 = np.zeros_like(c1)
+        if board is None:
+            need = np.arange(b1.shape[0])
+        else:
+            big_area = (100.0 / scale) ** 2  # ~100 px tag side
+            need_l = []
+            for b in range(b1.shape[0]):
+                n1 = int(c1[b])
+                if n1 < board.n_tags:
+                    need_l.append(b)
+                    continue
+                x = q1[b, :n1, :, 0]
+                y = q1[b, :n1, :, 1]
+                a2 = np.einsum(
+                    "qn,qn->q", x, np.roll(y, -1, 1)
+                ) - np.einsum("qn,qn->q", np.roll(x, -1, 1), y)
+                if 0.5 * np.abs(a2).max() >= big_area:
+                    need_l.append(b)
+            need = np.asarray(need_l, np.int64)
+        if need.size:
+            b2 = _dilate_white_host(b1[need])
+            q2n, c2n = extract_quads_batch(b2, max_quads=half)
+            q2[need] = q2n
+            c2[need] = c2n
+        if scale == 2:
+            # Erosion shrinks black blobs ~1 px per edge per
+            # dilation at the PYRAMID resolution (2 full px) and
+            # the pooling blur adds ~1 more: measured ~4.5 px
+            # inward corner bias for level 1 (vs ~1.4 px on the
+            # full-res path) and ~2 px more for the
+            # doubly-eroded level 2.  Pre-expand along the
+            # outward diagonal (in pyramid units, before the
+            # center-based dedup) so the subpixel refinement
+            # (total shift clamped to its 4 px window) starts
+            # inside its capture radius.
+            q1 = _expand_quads(q1, 1.5)
+            q2 = _expand_quads(q2, 2.75)
+        quads, counts = _dedup_levels(q1, c1, q2, c2, self.max_quads)
+        if scale == 2:
+            # pyramid pixel (r, c) covers full-res [2r, 2r+1] x
+            # [2c, 2c+1]; its center sits at 2x + 0.5
+            quads = quads * 2.0 + 0.5
+        return quads, counts
+
+    def _dispatch_decode(self, dev_chunk, quads, counts):
+        """Compact the (C, K) quad buffer (mostly padding) to a static
+        bucket of real quads — ~3x fewer sampling gathers — and enqueue the
+        fused refine+decode graph.  Returns (out, qframe, total)."""
+        C = dev_chunk.shape[0]
+        n_real = np.minimum(counts, quads.shape[1])
+        qframe = np.repeat(np.arange(C, dtype=np.int32), n_real)
+        sel_k = np.concatenate(
+            [np.arange(n) for n in n_real] or [np.zeros(0, np.int64)]
+        ).astype(np.int64)
+        total = qframe.shape[0]
+        self._bucket = max(self._bucket, -(-total // 256) * 256)
+        bucket = self._bucket
+        qq = np.zeros((bucket, 4, 2), np.float32)
+        qq[:total] = quads[qframe, sel_k]
+        qf = np.zeros(bucket, np.int32)
+        qf[:total] = qframe
+        qv = np.zeros(bucket, bool)
+        qv[:total] = True
+        out = refine_decode_fused(
+            self.family, dev_chunk, jnp.asarray(qq),
+            jnp.asarray(qf), jnp.asarray(qv), do_refine=self.refine,
+        )
+        return out, qf, total
+
+    def _collect_results(self, out, qf, total, nb) -> List[Dict[int, np.ndarray]]:
+        """Fetch decode outputs and build per-frame {tag_id: corners},
+        keeping the lowest-hamming quad per (frame, tag)."""
+        tag_id = np.asarray(out["tag_id"])
+        hamming = np.asarray(out["hamming"])
+        valid = np.asarray(out["valid"])
+        corners = np.asarray(out["corners"])  # (bucket,4,2)
+
+        best_all: List[Dict[int, Tuple[int, int]]] = [dict() for _ in range(nb)]
+        for q in np.flatnonzero(valid[:total]):
+            b = int(qf[q])
+            if b >= nb:
+                continue
+            tid = int(tag_id[q])
+            cur = best_all[b]
+            if tid not in cur or hamming[q] < cur[tid][1]:
+                cur[tid] = (int(q), int(hamming[q]))
+        return [
+            {tid: corners[q].copy() for tid, (q, _) in best.items()}
+            for best in best_all
+        ]
 
     # ------------------------------------------------------------- batched
     def detect_batch(
@@ -193,6 +322,12 @@ class TagDetector:
             else:
                 dev_all = jnp.asarray(np.stack([_to_gray_f32(im) for im in raw]))
         B, H, W = dev_all.shape
+
+        # Video fast path: board-informed frame-to-frame tracking (see
+        # track.py).  Falls back to the cold pipeline below per frame via
+        # its trigger policy; whole-batch cold is kept for board-less use.
+        if board is not None and self.track and self.refine and B > 0:
+            return self._detect_batch_tracked(dev_all, board)
 
         # Enqueue every chunk's threshold up front (dispatch is async), so
         # the packed-bitmap downloads of chunk i overlap the device work of
@@ -252,87 +387,9 @@ class TagDetector:
                 packed = fetches[ci].result()  # (C, sHp, sWp/8)
                 b1 = np.unpackbits(packed, axis=-1, count=pw)[:, :sH, :sW]
             with stage("detect/quadproc"):
-                # both erosion levels (scale-dependent corner-square
-                # bridges survive a single erosion); the second level is
-                # derived on host (white dilation of level 1) and its
-                # duplicates dropped before the decode bucket.
-                half = self.max_quads // 2
-                q1, c1 = extract_quads_batch(b1, max_quads=half)
-                # Level 2 exists to split tags that the first erosion left
-                # bridged into crosses — a LARGE-tag phenomenon (the
-                # corner-square bridges grow with tag scale; measured to
-                # appear around ~140 px tags, commit "dual-erosion").  A
-                # frame may skip the second native pass (the single host
-                # core pays ~2.3 ms/frame/level) only when BOTH hold:
-                # level-1 already yielded >= n_tags candidates AND every
-                # candidate is small-tag-regime sized — real imagery has
-                # background clutter that inflates the count alone
-                # (measured: euroc.png 99 / tum_vi 86 candidates for 36
-                # tags), so the count by itself must never gate the pass.
-                q2 = np.zeros_like(q1)
-                c2 = np.zeros_like(c1)
-                if board is None:
-                    need = np.arange(b1.shape[0])
-                else:
-                    big_area = (100.0 / scale) ** 2  # ~100 px tag side
-                    need_l = []
-                    for b in range(b1.shape[0]):
-                        n1 = int(c1[b])
-                        if n1 < board.n_tags:
-                            need_l.append(b)
-                            continue
-                        x = q1[b, :n1, :, 0]
-                        y = q1[b, :n1, :, 1]
-                        a2 = np.einsum(
-                            "qn,qn->q", x, np.roll(y, -1, 1)
-                        ) - np.einsum("qn,qn->q", np.roll(x, -1, 1), y)
-                        if 0.5 * np.abs(a2).max() >= big_area:
-                            need_l.append(b)
-                    need = np.asarray(need_l, np.int64)
-                if need.size:
-                    b2 = _dilate_white_host(b1[need])
-                    q2n, c2n = extract_quads_batch(b2, max_quads=half)
-                    q2[need] = q2n
-                    c2[need] = c2n
-                if scale == 2:
-                    # Erosion shrinks black blobs ~1 px per edge per
-                    # dilation at the PYRAMID resolution (2 full px) and
-                    # the pooling blur adds ~1 more: measured ~4.5 px
-                    # inward corner bias for level 1 (vs ~1.4 px on the
-                    # full-res path) and ~2 px more for the
-                    # doubly-eroded level 2.  Pre-expand along the
-                    # outward diagonal (in pyramid units, before the
-                    # center-based dedup) so the subpixel refinement
-                    # (total shift clamped to its 4 px window) starts
-                    # inside its capture radius.
-                    q1 = _expand_quads(q1, 1.5)
-                    q2 = _expand_quads(q2, 2.75)
-                quads, counts = _dedup_levels(q1, c1, q2, c2, self.max_quads)
-                if scale == 2:
-                    # pyramid pixel (r, c) covers full-res [2r, 2r+1] x
-                    # [2c, 2c+1]; its center sits at 2x + 0.5
-                    quads = quads * 2.0 + 0.5
+                quads, counts = self._extract_quads(b1, board, scale)
             with stage("detect/dispatch"):
-                # compact the (C, K) quad buffer (mostly padding) to a
-                # static bucket of real quads — ~3x fewer sampling gathers
-                n_real = np.minimum(counts, quads.shape[1])
-                qframe = np.repeat(np.arange(C, dtype=np.int32), n_real)
-                sel_k = np.concatenate(
-                    [np.arange(n) for n in n_real] or [np.zeros(0, np.int64)]
-                ).astype(np.int64)
-                total = qframe.shape[0]
-                self._bucket = max(self._bucket, -(-total // 256) * 256)
-                bucket = self._bucket
-                qq = np.zeros((bucket, 4, 2), np.float32)
-                qq[:total] = quads[qframe, sel_k]
-                qf = np.zeros(bucket, np.int32)
-                qf[:total] = qframe
-                qv = np.zeros(bucket, bool)
-                qv[:total] = True
-                out = refine_decode_fused(
-                    self.family, dev_chunks[ci], jnp.asarray(qq),
-                    jnp.asarray(qf), jnp.asarray(qv), do_refine=self.refine,
-                )
+                out, qf, total = self._dispatch_decode(dev_chunks[ci], quads, counts)
             pending.append((out, qf, total))
         pool.shutdown(wait=False)
 
@@ -343,26 +400,7 @@ class TagDetector:
             out, qf, total = pending[ci]
             nb = min(C, B - ci * C)
             with stage("detect/decode"):
-                tag_id = np.asarray(out["tag_id"])
-                hamming = np.asarray(out["hamming"])
-                valid = np.asarray(out["valid"])
-                corners = np.asarray(out["corners"])  # (bucket,4,2)
-
-                best_all: List[Dict[int, Tuple[int, int]]] = [
-                    dict() for _ in range(nb)
-                ]
-                for q in np.flatnonzero(valid[:total]):
-                    b = int(qf[q])
-                    if b >= nb:
-                        continue
-                    tid = int(tag_id[q])
-                    cur = best_all[b]
-                    if tid not in cur or hamming[q] < cur[tid][1]:
-                        cur[tid] = (int(q), int(hamming[q]))
-                chunk_results: List[Dict[int, np.ndarray]] = [
-                    {tid: corners[q].copy() for tid, (q, _) in best.items()}
-                    for best in best_all
-                ]
+                chunk_results = self._collect_results(out, qf, total, nb)
             all_chunk_results.append(chunk_results)
 
             if board is not None:
@@ -391,6 +429,180 @@ class TagDetector:
                     assist_merge(self.family, cand, aout, all_chunk_results[ci])
 
         return [r for chunk in all_chunk_results for r in chunk]
+
+    # --------------------------------------------------- tracking fast path
+    def _detect_frames_cold(self, dev_sub, board) -> List[Dict[int, np.ndarray]]:
+        """Synchronous cold pipeline (threshold -> CCL -> decode -> assist)
+        on a small device batch — the tracking mode's fallback unit."""
+        C, H, W = dev_sub.shape
+        scale = 2 if max(H, W) >= self.pyramid_min_side else 1
+        sH, sW = H // scale, W // scale
+        with stage("detect/threshold"):
+            small = _pool2(dev_sub) if scale == 2 else dev_sub
+            padded, _, _ = pad_to_tile(small)
+            pw = int(padded.shape[-1])
+            packed = np.asarray(adaptive_threshold_packed(padded))
+            b1 = np.unpackbits(packed, axis=-1, count=pw)[:, :sH, :sW]
+        with stage("detect/quadproc"):
+            quads, counts = self._extract_quads(b1, board, scale)
+        with stage("detect/dispatch"):
+            out, qf, total = self._dispatch_decode(dev_sub, quads, counts)
+        with stage("detect/decode"):
+            res = self._collect_results(out, qf, total, C)
+        if board is not None:
+            from .assist import assist_candidates, assist_merge
+
+            with stage("detect/assist"):
+                cand, aq, af, av = assist_candidates(board, res, W, H)
+                if cand is not None:
+                    aout = refine_decode_fused(
+                        self.family, dev_sub, jnp.asarray(aq),
+                        jnp.asarray(af), jnp.asarray(av),
+                        do_refine=self.refine, sharp=out["sharp"],
+                    )
+                    assist_merge(self.family, cand, aout, res)
+        return res
+
+    def _detect_batch_tracked(self, dev_all, board) -> List[Dict[int, np.ndarray]]:
+        """Tracking-mode orchestration (see track.py for the device graph).
+
+        Fallback policy — a frame re-runs the cold pipeline when any holds:
+          * cadence: its global index hits ``cold_every`` (bounds how long
+            the "known bad" occlusion memory can be stale);
+          * a tag with a valid, fully in-bounds prediction failed to decode
+            and is not already known-bad (known-bad = tags the last cold
+            frame ALSO failed on while predicted in-bounds, i.e. genuinely
+            undetectable — occlusion, damage);
+          * fewer than MIN_TRACK_TAGS tags were accepted (the carry cannot
+            seed the next frame).
+        Cold results take precedence; tracked tags the cold pass missed are
+        merged in (prediction + id-match decode — the assist acceptance
+        rule).  The carry persists across detect_batch calls so streaming
+        loaders (dataloader chunks) keep tracking; reset_tracking() between
+        unrelated sequences.
+        """
+        import jax
+
+        from .track import (
+            MIN_TRACK_TAGS,
+            detections_to_arrays,
+            track_chunk,
+        )
+
+        B, H, W = dev_all.shape
+        C = min(self.chunk, B) if jax.default_backend() == "cpu" else self.chunk
+        n_tags = board.n_tags
+        first = board.config.first_id
+        board_xy = jnp.asarray(
+            board.p3d.reshape(n_tags, 4, 3)[:, :, :2].astype(np.float32)
+        )
+        first_dev = jnp.asarray(np.int32(first))
+
+        st = self._tstate
+        if (
+            st is None
+            or st["wh"] != (W, H)
+            or st["board"] is not board
+        ):
+            st = self._tstate = {
+                "wh": (W, H), "board": board,
+                "c1": None, "v1": None, "c2": None, "v2": None,
+                "known_bad": set(), "frame_idx": 0,
+            }
+
+        def run_cold(frames: List[int]) -> Dict[int, Dict[int, np.ndarray]]:
+            """Cold-detect absolute frame indices in fixed-size groups."""
+            outres: Dict[int, Dict[int, np.ndarray]] = {}
+            G = self.cold_chunk
+            for g in range(0, len(frames), G):
+                grp = frames[g : g + G]
+                idx = np.asarray(grp + [grp[-1]] * (G - len(grp)), np.int32)
+                dev_sub = jnp.take(dev_all, jnp.asarray(idx), axis=0)
+                res = self._detect_frames_cold(dev_sub, board)
+                for k, f in enumerate(grp):
+                    outres[f] = res[k]
+            return outres
+
+        results: List[Dict[int, np.ndarray]] = [dict() for _ in range(B)]
+        pos = 0
+        while pos < B:
+            nb = min(C, B - pos)
+            part = dev_all[pos : pos + C]
+            if part.shape[0] < C:
+                reps = jnp.repeat(part[-1:], C - part.shape[0], axis=0)
+                part = jnp.concatenate([part, reps], axis=0)
+
+            seed_res = None
+            if st["c1"] is None:
+                # first frame ever: cold-detect it to seed the carry
+                with stage("detect/track-cold"):
+                    seed_res = run_cold([pos])[pos]
+                c1, v1 = detections_to_arrays(seed_res, board)
+                st["c1"], st["v1"] = c1, v1
+                st["c2"], st["v2"] = c1.copy(), np.zeros(n_tags, bool)
+
+            with stage("detect/track"):
+                cor, acc, att = track_chunk(
+                    self.family, part, board_xy, first_dev,
+                    jnp.asarray(st["c2"]), jnp.asarray(st["v2"]),
+                    jnp.asarray(st["c1"]), jnp.asarray(st["v1"]),
+                )
+                cor = np.asarray(cor)
+                acc = np.asarray(acc)
+                att = np.asarray(att)
+
+            trig: List[int] = []
+            for k in range(nb):
+                f = pos + k
+                results[f] = {
+                    int(t) + first: cor[k, t].copy()
+                    for t in np.flatnonzero(acc[k])
+                }
+                fails = set(int(t) for t in np.flatnonzero(att[k] & ~acc[k]))
+                gidx = st["frame_idx"] + k
+                if (
+                    (self.cold_every > 0 and gidx % self.cold_every == 0)
+                    or not fails <= st["known_bad"]
+                    or int(acc[k].sum()) < MIN_TRACK_TAGS
+                ):
+                    trig.append(f)
+
+            coldres: Dict[int, Dict[int, np.ndarray]] = {}
+            trig_run = [f for f in trig if not (seed_res is not None and f == pos)]
+            if trig_run:
+                with stage("detect/track-cold"):
+                    coldres = run_cold(trig_run)
+            if seed_res is not None:
+                coldres[pos] = seed_res
+
+            # merge (cold wins; tracked fills tags cold missed) + update
+            # the known-bad memory from the chunk's LAST cold frame
+            for f in sorted(coldres):
+                merged = dict(coldres[f])
+                for t, cc in results[f].items():
+                    if t not in merged:
+                        merged[t] = cc
+                results[f] = merged
+                k = f - pos
+                det = np.zeros(n_tags, bool)
+                for t in merged:
+                    tl = int(t) - first
+                    if 0 <= tl < n_tags:
+                        det[tl] = True
+                st["known_bad"] = set(
+                    int(t) for t in np.flatnonzero(att[k] & ~det)
+                )
+
+            last = pos + nb - 1
+            c1, v1 = detections_to_arrays(results[last], board)
+            if nb >= 2:
+                c2, v2 = detections_to_arrays(results[last - 1], board)
+            else:
+                c2, v2 = st["c1"], st["v1"]
+            st["c1"], st["v1"], st["c2"], st["v2"] = c1, v1, c2, v2
+            st["frame_idx"] += nb
+            pos += nb
+        return results
 
     # -------------------------------------------------------------- single
     def detect(self, image) -> Dict[int, np.ndarray]:

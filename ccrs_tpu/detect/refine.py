@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 
 WIN = 4  # half-window (9x9)
-ITERS = 6
+# 10 iterations: the 1 px/iter step clamp needs ~4 to cross a CCL quad's
+# corner bias, then ~0.07 px/iter linear polish — 6 left a measurable
+# init-dependent residual (tracked-vs-cold corners differed by ~0.07 px).
+# Each extra iteration is one 4-gather bilinear sample + a 2x2 solve.
+ITERS = 10
 
 
 def _grad(images):

@@ -284,6 +284,49 @@ def front_view_base():
     return np.array([0.0, 0.0, np.pi])
 
 
+def smooth_sequence_poses(
+    n_frames: int,
+    board: Board,
+    seed: int = 0,
+    keyframe_every: int = 16,
+    span_scale=1.0,
+):
+    """Continuous handheld-VIDEO pose trajectory (front side in view).
+
+    ``default_sequence_poses`` draws every frame independently — useful for
+    pose diversity, but unlike any real calibration recording.  The
+    reference's acceptance data (TUM-VI ``dataset-calib-cam1``,
+    /root/reference/.github/workflows/rust.yml "Test on dataset") is smooth
+    ~20 fps handheld video, which is what the detector's tracking fast
+    path exploits; this generator models that regime: diverse keyposes
+    every ``keyframe_every`` frames, interpolated with quaternion slerp
+    (rotation) and cubic-smoothstep blending (translation), yielding a few
+    px/frame of corner motion like the real footage.
+    """
+    n_keys = max(2, -(-n_frames // keyframe_every) + 1)
+    keys = default_sequence_poses(n_keys, board, seed, span_scale)
+    try:
+        from scipy.spatial.transform import Rotation, Slerp
+
+        rots = Rotation.from_rotvec(keys[:, :3])
+        slerp = Slerp(np.arange(n_keys, dtype=np.float64), rots)
+    except ImportError:  # pragma: no cover - scipy is in the env
+        slerp = None
+    poses = []
+    for f in range(n_frames):
+        u = f / keyframe_every
+        k = min(int(u), n_keys - 2)
+        t = u - k
+        t = t * t * (3.0 - 2.0 * t)  # smoothstep: C1 at keyframes
+        tv = (1 - t) * keys[k, 3:] + t * keys[k + 1, 3:]
+        if slerp is not None:
+            rv = slerp(k + t).as_rotvec()
+        else:  # nearest-key fallback
+            rv = keys[k if t < 0.5 else k + 1, :3]
+        poses.append(np.concatenate([rv, tv]))
+    return np.stack(poses)
+
+
 def default_sequence_poses(n_frames: int, board: Board, seed: int = 0, span_scale=1.0):
     """Handheld-like pose sweep keeping the board in view (front side)."""
     rng = np.random.default_rng(seed)
