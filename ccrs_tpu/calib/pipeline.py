@@ -42,6 +42,9 @@ def init_and_calibrate_one_camera(
 ) -> Optional[Tuple[GenericModel, Dict[int, RvecTvec]]]:
     frame0, frame1 = find_best_two_frames(batch, random_pick_two_frames, rng)
     log.info("init frames: %d, %d", frame0, frame1)
+    # recorded for the caller's Rerun keyframe markers
+    # (/cam{i}/keyframe{j}, matching src/util.rs:898-908)
+    init_and_calibrate_one_camera.last_init_frames = (frame0, frame1)
 
     initial_camera = None
     with stage("calib/init"):
@@ -117,6 +120,7 @@ def init_and_calibrate_one_camera(
 
 
 init_and_calibrate_one_camera.last_gated = None
+init_and_calibrate_one_camera.last_init_frames = None
 
 
 def calibrate_camera_with_retries(

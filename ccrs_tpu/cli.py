@@ -42,7 +42,19 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native camera intrinsic calibration from AprilGrid images",
     )
     p.add_argument("path", help="path to image folder")
-    p.add_argument("--tag-family", default="t36h11", choices=FAMILY_NAMES)
+    # t25h7 is accepted for reference-CLI parity but requires a
+    # user-supplied code table (families.family_from_table docstring)
+    p.add_argument(
+        "--tag-family", default="t36h11", choices=FAMILY_NAMES + ["t25h7"]
+    )
+    p.add_argument(
+        "--tag-family-table",
+        default=None,
+        metavar="NPZ",
+        help="custom code table for the tag family (required for t25h7, "
+        "whose canonical table cannot be regenerated offline; keys: codes "
+        "[+ size/border/max_hamming])",
+    )
     p.add_argument("-m", "--model", default="eucm", choices=list(MODEL_NAMES))
     p.add_argument("--start-idx", type=int, default=0)
     p.add_argument("--step", type=int, default=1)
@@ -137,6 +149,15 @@ def calibrate_all_cameras(args, board, batches, recorder, key):
         except RuntimeError as e:
             raise SystemExit(f"cam{cam_idx}: {e}")
         model, rtvecs = result
+        from .calib.pipeline import init_and_calibrate_one_camera
+
+        init_frames = init_and_calibrate_one_camera.last_init_frames
+        if init_frames is not None:
+            # /cam{i}/keyframe{j} markers for the two init frames
+            # (src/util.rs:898-908)
+            recorder.log_keyframes(
+                cam_idx, [int(batch.time_ns[f]) for f in init_frames]
+            )
         intrinsics.append(model)
         cam_rtvecs.append(rtvecs)
     return intrinsics, cam_rtvecs
@@ -218,7 +239,13 @@ def main(argv=None):
     if args.platform != "auto":
         jax.config.update("jax_platforms", args.platform)
 
-    detector = TagDetector(args.tag_family)
+    if args.tag_family_table:
+        from .detect.families import family_from_table
+
+        family = family_from_table(args.tag_family, args.tag_family_table)
+    else:
+        family = args.tag_family  # get_family raises helpfully for t25h7
+    detector = TagDetector(family)
     board = setup_board(args)
     output_folder = setup_output_folder(args)
     recorder = Recorder(

@@ -37,8 +37,9 @@ Algorithm (per binary image, batched over frames):
 
 Corner positions land within ~1 px of the C++ contour/line-fit corners;
 the downstream structure-tensor subpixel refinement (detect/refine.py)
-absorbs that before decode.  Supports images up to 2048 px a side (the
-packing asserts statically).
+absorbs that before decode.  Extreme-point packing centers coordinates on
+the image midpoint, so images with sqrt(W^2 + H^2) < 4096 are supported
+(2048 px a side included; the packing asserts statically).
 
 STATUS — experimental, not the default detect path.  Measured on a real
 TPU v5 lite (remote backend), (64, 512, 512): ``label_components`` 2.18 s,
@@ -86,7 +87,8 @@ def _seg_scan_axis(vals, black, axis, combine_max: bool):
         return jnp.where(bf, bv, reduce_(av, bv)), af | bf
 
     def shifted(arr, delta):
-        # black[i + delta] with False out of range, along `axis`
+        # black[i - delta] with False out of range, along `axis`
+        # (delta=+1 -> left neighbor, delta=-1 -> right neighbor)
         pad = [(0, 0)] * arr.ndim
         if delta == 1:
             pad[axis] = (1, 0)
@@ -171,9 +173,11 @@ def extract_quads_device(
     """
     B, H, W = binary.shape
     n_pix = H * W
-    # packing budget: proj/perp at half-pixel resolution need
-    # 2*sqrt(2)*max(H,W) < 2^(_COORD_BITS-1)
-    assert 2 * 1.5 * max(H, W) < (1 << (_COORD_BITS - 1)) * 2 - 1, (
+    # packing budget: coordinates are CENTERED on the image midpoint before
+    # projecting, so proj/perp at half-pixel resolution are bounded by
+    # sqrt(W^2 + H^2), which must fit the signed 13-bit field (+-4096) —
+    # i.e. true support up to ~2896 px a side (2048 included)
+    assert (W * W + H * H) ** 0.5 < _COORD_BIAS, (
         "image too large for int32 extreme packing"
     )
     black = binary == 0
@@ -187,8 +191,9 @@ def extract_quads_device(
     is_root = black & (labels == idx)
 
     # ---- 2. extreme points in 2*n_dirs directions ------------------------
-    ys = (idx // W).astype(jnp.float32)
-    xs = (idx % W).astype(jnp.float32)
+    W2, H2 = W / 2.0, H / 2.0  # center to halve the packed range
+    ys = (idx // W).astype(jnp.float32) - H2
+    xs = (idx % W).astype(jnp.float32) - W2
     angles = np.pi * np.arange(n_dirs) / n_dirs
     packed = []
     for a in angles:
@@ -212,8 +217,8 @@ def extract_quads_device(
         for sign in (1, -1):
             pr = (sign * proj_u[:, ch]).astype(jnp.float32) * 0.5
             pe = perp_u[:, ch].astype(jnp.float32) * 0.5
-            ex_list.append(pr * c - pe * s)
-            ey_list.append(pr * s + pe * c)
+            ex_list.append(pr * c - pe * s + W2)  # un-center
+            ey_list.append(pr * s + pe * c + H2)
             pmax[(d, sign)] = pr
             ch += 1
     exs = jnp.stack(ex_list, axis=1)  # (B, 2D, H, W)
@@ -223,9 +228,9 @@ def extract_quads_device(
     # bbox from the axis-aligned channels: dir 0 = x, dir D/2 = y
     # (pmax[(d, -1)] already holds the MIN projection: the -1 channel
     # propagates max(-proj) and pr multiplies the sign back)
-    xmax, xmin = pmax[(0, 1)], pmax[(0, -1)]
+    xmax, xmin = pmax[(0, 1)] + W2, pmax[(0, -1)] + W2  # back to image coords
     d_y = n_dirs // 2
-    ymax, ymin = pmax[(d_y, 1)], pmax[(d_y, -1)]
+    ymax, ymin = pmax[(d_y, 1)] + H2, pmax[(d_y, -1)] + H2
     bw = xmax - xmin + 1.0
     bh = ymax - ymin + 1.0
     aspect = jnp.maximum(bw / jnp.maximum(bh, 1e-6), bh / jnp.maximum(bw, 1e-6))

@@ -95,30 +95,30 @@ def _expand_quads(quads, px):
 def _dedup_levels(q1, c1, q2, c2, max_quads):
     """Merge the two erosion levels' quads, dropping level-2 quads whose
     center falls within 0.7x an existing level-1 quad's mean radius
-    (duplicates of the same tag blob; vectorized per frame)."""
-    C = q1.shape[0]
+    (duplicates of the same tag blob).  Fully vectorized over the batch —
+    no per-frame/per-quad Python on the 1-core host (r02 verdict #8)."""
+    C, half = q1.shape[0], q1.shape[1]
+    k = np.arange(half)[None, :]
+    m1 = k < c1[:, None]  # (C, half) level-1 validity
+    m2 = k < c2[:, None]
+    cen1 = q1.mean(axis=2)  # (C, half, 2)
+    rad1 = np.linalg.norm(q1 - cen1[:, :, None, :], axis=-1).mean(axis=2)
+    cen2 = q2.mean(axis=2)
+    d = np.linalg.norm(
+        cen1[:, None, :, :] - cen2[:, :, None, :], axis=-1
+    )  # (C, half2, half1)
+    dup = (d < 0.7 * rad1[:, None, :]) & m1[:, None, :]
+    keep2 = m2 & ~dup.any(axis=2)
+    # level-1 rows first, then surviving level-2 rows: a stable argsort on
+    # ~valid compacts each frame's winners to the front in one shot
+    quads_all = np.concatenate([q1, q2], axis=1)  # (C, 2*half, 4, 2)
+    valid_all = np.concatenate([m1, keep2], axis=1)
+    order = np.argsort(~valid_all, axis=1, kind="stable")
+    quads_sorted = np.take_along_axis(quads_all, order[:, :, None, None], axis=1)
+    counts = np.minimum(valid_all.sum(axis=1), max_quads).astype(np.int32)
     quads = np.zeros((C, max_quads, 4, 2), np.float32)
-    counts = np.zeros(C, np.int32)
-    for b in range(C):
-        n1 = int(c1[b])
-        quads[b, :n1] = q1[b, :n1]
-        n = n1
-        n2 = int(c2[b])
-        if n2:
-            if n1:
-                cen1 = q1[b, :n1].mean(axis=1)  # (n1,2)
-                rad1 = np.linalg.norm(q1[b, :n1] - cen1[:, None, :], axis=-1).mean(
-                    axis=1
-                )
-                cen2 = q2[b, :n2].mean(axis=1)  # (n2,2)
-                d = np.linalg.norm(cen1[None, :, :] - cen2[:, None, :], axis=-1)
-                keep = ~((d < 0.7 * rad1[None, :]).any(axis=1))
-            else:
-                keep = np.ones(n2, bool)
-            extra = q2[b, :n2][keep][: max_quads - n]
-            quads[b, n : n + extra.shape[0]] = extra
-            n += extra.shape[0]
-        counts[b] = n
+    m = min(max_quads, 2 * half)
+    quads[:, :m] = quads_sorted[:, :m]
     return quads, counts
 
 
@@ -268,25 +268,28 @@ class TagDetector:
 
     def _collect_results(self, out, qf, total, nb) -> List[Dict[int, np.ndarray]]:
         """Fetch decode outputs and build per-frame {tag_id: corners},
-        keeping the lowest-hamming quad per (frame, tag)."""
+        keeping the lowest-hamming quad per (frame, tag).  Winner selection
+        is a vectorized lexsort group-by; Python touches only the final
+        detections (r02 verdict #8)."""
         tag_id = np.asarray(out["tag_id"])
         hamming = np.asarray(out["hamming"])
         valid = np.asarray(out["valid"])
         corners = np.asarray(out["corners"])  # (bucket,4,2)
 
-        best_all: List[Dict[int, Tuple[int, int]]] = [dict() for _ in range(nb)]
-        for q in np.flatnonzero(valid[:total]):
-            b = int(qf[q])
-            if b >= nb:
-                continue
-            tid = int(tag_id[q])
-            cur = best_all[b]
-            if tid not in cur or hamming[q] < cur[tid][1]:
-                cur[tid] = (int(q), int(hamming[q]))
-        return [
-            {tid: corners[q].copy() for tid, (q, _) in best.items()}
-            for best in best_all
-        ]
+        results: List[Dict[int, np.ndarray]] = [dict() for _ in range(nb)]
+        idx = np.flatnonzero(valid[:total])
+        if idx.size:
+            fr = qf[idx]
+            tid = tag_id[idx]
+            ham = hamming[idx]
+            order = np.lexsort((ham, tid, fr))
+            fr, tid, qi = fr[order], tid[order], idx[order]
+            first = np.ones(order.size, bool)
+            first[1:] = (fr[1:] != fr[:-1]) | (tid[1:] != tid[:-1])
+            for b, t, q in zip(fr[first], tid[first], qi[first]):
+                if b < nb:
+                    results[b][int(t)] = corners[q].copy()
+        return results
 
     # ------------------------------------------------------------- batched
     def detect_batch(

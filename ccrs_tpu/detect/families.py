@@ -116,3 +116,49 @@ def get_family(name: str) -> TagFamily:
         codes=codes,
         max_hamming=_MAX_HAMMING[name],
     )
+
+
+_DEFAULT_SIZE = {"t16h5": 4, "t25h7": 5, "t25h9": 5, "t36h11": 6, "t36h11b1": 6}
+
+
+def family_from_table(name: str, path: str) -> TagFamily:
+    """Construct a TagFamily from a user-supplied code table (.npz).
+
+    Closes the CLI parity gap for ``t25h7`` (the reference advertises it,
+    ``/root/reference/src/bin/camera_calibration.rs:31-33``, but its
+    canonical 242-code table is not reproducible offline — see the
+    FAMILY_NAMES note): users who have the table supply it here via
+    ``ccrs ... --tag-family t25h7 --tag-family-table table.npz``.
+
+    npz keys:
+      codes: REQUIRED — either (n, size*size) uint8 cell bits (1 = white,
+        row-major, the layout ``tools/extract_tag_families.py`` emits) or
+        (n,) unsigned packed codes with bit (size*size-1-i) holding cell i
+        (the upstream apriltag ``codes[]`` convention).
+      size: data cells per side (default from the family name).
+      border: black border cells (default 2, Kalibr-style prints).
+      max_hamming: decode correction budget (default 1).
+    """
+    data = np.load(path)
+    if "codes" not in data:
+        raise ValueError(f"{path}: missing 'codes' array")
+    size = int(data["size"]) if "size" in data else _DEFAULT_SIZE.get(name, 6)
+    nbits = size * size
+    codes = np.asarray(data["codes"])
+    if codes.ndim == 1:  # packed integers -> cell bits, MSB = cell 0
+        codes = (
+            (codes[:, None].astype(np.uint64) >> np.arange(nbits - 1, -1, -1, dtype=np.uint64))
+            & np.uint64(1)
+        ).astype(np.uint8)
+    if codes.shape[1] != nbits:
+        raise ValueError(
+            f"{path}: codes have {codes.shape[1]} bits but size={size} "
+            f"implies {nbits}"
+        )
+    return TagFamily(
+        name=name,
+        size=size,
+        border=int(data["border"]) if "border" in data else 2,
+        codes=codes.astype(np.uint8),
+        max_hamming=int(data["max_hamming"]) if "max_hamming" in data else 1,
+    )

@@ -53,6 +53,13 @@ class LMOptions:
     #: accepted (3x as many before any accept: early rejects can be a
     #: legitimately-too-small lam0 warming up).
     max_rejects: int = 5
+    #: the stall additionally requires lam to have climbed to at least this
+    #: value: each rejection multiplies lam by lam_up, so a mid-descent step
+    #: into a stiffer region gets the full lam range up to here before the
+    #: solver may declare a stall (r02 advisor: a bare rejection count only
+    #: explored ~1e5 of lambda dynamic range after an accept).  At the dtype
+    #: cost floor this costs ~2-3 extra rejected iterations.
+    stall_lam: float = 1e2
 
 
 def huber_block_weight(r2, delta):
@@ -111,7 +118,11 @@ def lm_solve(
         return jnp.sum(w * huber_cost(r2, opts.huber_delta))
 
     def jac_res(x):
-        J, (r, w) = jax.jacfwd(lambda x: (residual_fn(x)[0], residual_fn(x)), has_aux=True)(x)
+        def primal_with_aux(x):
+            r, w = residual_fn(x)
+            return r, (r, w)  # differentiate r; carry (r, w) out as aux
+
+        J, (r, w) = jax.jacfwd(primal_with_aux, has_aux=True)(x)
         return r, w, J  # r (B,d), w (B,), J (B,d,n)
 
     def body(state):
@@ -144,7 +155,9 @@ def lm_solve(
         cost = jnp.where(accept, c_new, cost)
         rej = jnp.where(accept, 0, rej + 1)
         acc_any = acc_any | accept
-        stall = rej >= jnp.where(acc_any, opts.max_rejects, 3 * opts.max_rejects)
+        stall = (rej >= jnp.where(acc_any, opts.max_rejects, 3 * opts.max_rejects)) & (
+            lam >= opts.stall_lam
+        )
         return x, lam, cost, it + 1, done | converged | stall, rej, acc_any
 
     def cond(state):
@@ -302,7 +315,9 @@ def ba_solve(
         cost = jnp.where(accept, c_new, cost)
         rej = jnp.where(accept, 0, rej + 1)
         acc_any = acc_any | accept
-        stall = rej >= jnp.where(acc_any, opts.max_rejects, 3 * opts.max_rejects)
+        stall = (rej >= jnp.where(acc_any, opts.max_rejects, 3 * opts.max_rejects)) & (
+            lam >= opts.stall_lam
+        )
         return theta, poses, lam, cost, it + 1, done | converged | stall, rej, acc_any
 
     def cond(state):
@@ -548,7 +563,9 @@ def ba_solve_multi(
         cost = jnp.where(accept, c_new, cost)
         rej = jnp.where(accept, 0, rej + 1)
         acc_any = acc_any | accept
-        stall = rej >= jnp.where(acc_any, opts.max_rejects, 3 * opts.max_rejects)
+        stall = (rej >= jnp.where(acc_any, opts.max_rejects, 3 * opts.max_rejects)) & (
+            lam >= opts.stall_lam
+        )
         return (
             theta, ext, poses, lam, cost, it + 1, done | converged | stall,
             rej, acc_any,

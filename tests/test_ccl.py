@@ -160,3 +160,18 @@ def test_e2e_device_quads_decode_like_native():
     assert len(nat_ids) >= 30  # sanity: the frame is detectable
     missing = nat_ids - dev_ids
     assert not missing, f"device path missed tags {sorted(missing)}"
+
+
+def test_wide_image_packing():
+    """Regression (r02 advisor): extreme-point packing overflowed int32 for
+    images wider than ~1447 px; coordinates are now centered on the image
+    midpoint, giving true sqrt(W^2+H^2) < 4096 support (2048 included)."""
+    W, H = 1600, 256
+    img = np.ones((1, H, W), np.uint8)
+    img[0, 60:140, 1480:1560] = 0  # square near the right edge
+    img[0, 60:140, 40:120] = 0  # and one near the left edge
+    quads, valid = extract_quads_device(jnp.asarray(img), max_quads=8)
+    quads = np.asarray(quads)[0][np.asarray(valid)[0]]
+    assert quads.shape[0] == 2
+    ref, cnt = extract_quads_batch(img, max_quads=8)
+    assert _match(quads, ref[0, : cnt[0]], tol=2.0)
