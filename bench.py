@@ -147,6 +147,8 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     profiling.reset()
     for name in sorted(stages, key=lambda k: -stages[k]):
         print(f"  stage {name:24s} {stages[name]:7.3f}s", file=sys.stderr)
+    if getattr(detector, "stats", None):
+        print(f"  detector stats: {detector.stats}", file=sys.stderr)
 
     # correctness gate
     with contextlib.redirect_stdout(sys.stderr):

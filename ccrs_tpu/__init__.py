@@ -31,6 +31,14 @@ import jax
 # solver; enable x64 globally and keep image-path dtypes explicitly f32.
 jax.config.update("jax_enable_x64", True)
 
+# TPU f32 matmuls default to ONE bf16 MXU pass (~0.4% relative error) —
+# measured to warp the f32 renderer by ~2 px and to corrupt the tracking
+# homography fits, while CPU runs were exact (r03).  Geometry matmuls here
+# are tiny (3x3 poses, 8x8 normal equations), so force true-f32 everywhere
+# and opt back into bf16 only where it is exact (the +-1 code-matching
+# matmul in detect/decode.py, the one genuinely MXU-bound op).
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent XLA compilation cache: the pipeline compiles ~a dozen graphs
 # (threshold/decode/refine/RANSAC/PnP/BA variants); on the remote-compile
 # TPU backend each costs ~30-90s, so caching across processes matters.

@@ -173,7 +173,10 @@ def _decode_core(family: TagFamily, images, quads, qframe, qvalid):
         return bits, (white - black) > MIN_DECODE_CONTRAST
 
     bits, contrast_ok = jax.vmap(per_quad)(quads, qframe)  # (Q,nbits)
-    scores = bits @ codes.T
+    # +-1 entries and <=64-term sums are EXACT in bf16 with f32 accumulation,
+    # so this (the one genuinely MXU-bound matmul) opts out of the package's
+    # global 'highest' matmul precision (6x fewer MXU passes)
+    scores = jnp.matmul(bits, codes.T, precision=jax.lax.Precision.DEFAULT)
     best = jnp.argmax(scores, axis=1)
     hamming = ((nbits - scores[jnp.arange(bits.shape[0]), best]) / 2).astype(jnp.int32)
     tag_id = best // 4
@@ -243,14 +246,14 @@ def refine_decode_fused(
     array; not downloaded unless fetched).
     """
     from .patches import extract_patches
-    from .refine import refine_patches
+    from .refine import refine_patches_2stage
 
     images = images.astype(jnp.float32)
     if do_refine:
         corners = quads.reshape(-1, 2)
         cframe = jnp.repeat(qframe.astype(jnp.int32), 4)
         patches, local, offset = extract_patches(images, corners, cframe)
-        refined = refine_patches(patches, local) + offset
+        refined = refine_patches_2stage(patches, local) + offset
         quads = refined.reshape(quads.shape)
     if sharp is None:
         sharp = unsharp(images)

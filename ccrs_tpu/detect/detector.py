@@ -434,17 +434,28 @@ class TagDetector:
         return [r for chunk in all_chunk_results for r in chunk]
 
     # --------------------------------------------------- tracking fast path
-    def _detect_frames_cold(self, dev_sub, board) -> List[Dict[int, np.ndarray]]:
+    def _detect_frames_cold(
+        self, dev_sub, board, do_assist: bool = True, packed_pre=None
+    ) -> List[Dict[int, np.ndarray]]:
         """Synchronous cold pipeline (threshold -> CCL -> decode -> assist)
-        on a small device batch — the tracking mode's fallback unit."""
+        on a small device batch — the tracking mode's fallback unit.
+
+        ``do_assist=False`` skips the board-assist decode: when healthy
+        tracked detections are merged over this result the assist pass is
+        redundant (tracking already ran an assist-equivalent
+        predict+decode on every tag).  ``packed_pre`` accepts a
+        pre-dispatched threshold output so cadence audits can overlap the
+        device threshold with the chunk's tracking scan."""
         C, H, W = dev_sub.shape
         scale = 2 if max(H, W) >= self.pyramid_min_side else 1
         sH, sW = H // scale, W // scale
         with stage("detect/threshold"):
-            small = _pool2(dev_sub) if scale == 2 else dev_sub
-            padded, _, _ = pad_to_tile(small)
-            pw = int(padded.shape[-1])
-            packed = np.asarray(adaptive_threshold_packed(padded))
+            if packed_pre is None:
+                small = _pool2(dev_sub) if scale == 2 else dev_sub
+                padded, _, _ = pad_to_tile(small)
+                packed_pre = adaptive_threshold_packed(padded)
+            packed = np.asarray(packed_pre)
+            pw = int(packed.shape[-1]) * 8
             b1 = np.unpackbits(packed, axis=-1, count=pw)[:, :sH, :sW]
         with stage("detect/quadproc"):
             quads, counts = self._extract_quads(b1, board, scale)
@@ -452,7 +463,7 @@ class TagDetector:
             out, qf, total = self._dispatch_decode(dev_sub, quads, counts)
         with stage("detect/decode"):
             res = self._collect_results(out, qf, total, C)
-        if board is not None:
+        if board is not None and do_assist:
             from .assist import assist_candidates, assist_merge
 
             with stage("detect/assist"):
@@ -465,6 +476,14 @@ class TagDetector:
                     )
                     assist_merge(self.family, cand, aout, res)
         return res
+
+    def _threshold_packed_for(self, dev_sub):
+        """Dispatch (async) the threshold for a cold group."""
+        H, W = dev_sub.shape[-2:]
+        scale = 2 if max(H, W) >= self.pyramid_min_side else 1
+        small = _pool2(dev_sub) if scale == 2 else dev_sub
+        padded, _, _ = pad_to_tile(small)
+        return adaptive_threshold_packed(padded)
 
     def _detect_batch_tracked(self, dev_all, board) -> List[Dict[int, np.ndarray]]:
         """Tracking-mode orchestration (see track.py for the device graph).
@@ -510,10 +529,18 @@ class TagDetector:
             st = self._tstate = {
                 "wh": (W, H), "board": board,
                 "c1": None, "v1": None, "c2": None, "v2": None,
-                "known_bad": set(), "frame_idx": 0,
+                "c3": None, "v3": None,
+                # tag -> global frame index of the last cold CONFIRMATION
+                # that the tag is undetectable; entries expire after
+                # cold_every//2 frames so a tag that becomes findable
+                # again is re-audited promptly (bounded-staleness recall)
+                "known_bad": {}, "frame_idx": 0,
             }
 
-        def run_cold(frames: List[int]) -> Dict[int, Dict[int, np.ndarray]]:
+        self.stats = {"frames": B, "cold_frames": 0, "cold_groups": 0,
+                      "trigger_frames": 0}
+
+        def run_cold(frames: List[int], do_assist=True, packed_pre=None):
             """Cold-detect absolute frame indices in fixed-size groups."""
             outres: Dict[int, Dict[int, np.ndarray]] = {}
             G = self.cold_chunk
@@ -521,19 +548,45 @@ class TagDetector:
                 grp = frames[g : g + G]
                 idx = np.asarray(grp + [grp[-1]] * (G - len(grp)), np.int32)
                 dev_sub = jnp.take(dev_all, jnp.asarray(idx), axis=0)
-                res = self._detect_frames_cold(dev_sub, board)
+                res = self._detect_frames_cold(
+                    dev_sub, board, do_assist=do_assist,
+                    packed_pre=packed_pre if g == 0 else None,
+                )
+                self.stats["cold_groups"] += 1
+                self.stats["cold_frames"] += len(grp)
                 for k, f in enumerate(grp):
                     outres[f] = res[k]
             return outres
 
         results: List[Dict[int, np.ndarray]] = [dict() for _ in range(B)]
+
+        def scan_from(f0: int, carry6) -> tuple:
+            """Run the tracking scan over frames [f0, f0+C) (clamped,
+            repeat-last padded) with the given (c3,v3,c2,v2,c1,v1) carry."""
+            idx = np.minimum(np.arange(f0, f0 + C), B - 1).astype(np.int32)
+            partx = jnp.take(dev_all, jnp.asarray(idx), axis=0)
+            outs = track_chunk(
+                self.family, partx, board_xy, first_dev,
+                *(jnp.asarray(a) for a in carry6),
+            )
+            return tuple(np.asarray(o) for o in outs)
+
+        def carry_at(f: int) -> tuple:
+            """(c3,v3,c2,v2,c1,v1) carry from merged results ending at f."""
+            c1, v1 = detections_to_arrays(results[f], board)
+            if f - 1 >= 0 and results[f - 1]:
+                c2, v2 = detections_to_arrays(results[f - 1], board)
+            else:
+                c2, v2 = c1.copy(), np.zeros(n_tags, bool)
+            if f - 2 >= 0 and results[f - 2]:
+                c3, v3 = detections_to_arrays(results[f - 2], board)
+            else:
+                c3, v3 = c1.copy(), np.zeros(n_tags, bool)
+            return (c3, v3, c2, v2, c1, v1)
+
         pos = 0
         while pos < B:
             nb = min(C, B - pos)
-            part = dev_all[pos : pos + C]
-            if part.shape[0] < C:
-                reps = jnp.repeat(part[-1:], C - part.shape[0], axis=0)
-                part = jnp.concatenate([part, reps], axis=0)
 
             seed_res = None
             if st["c1"] is None:
@@ -543,58 +596,161 @@ class TagDetector:
                 c1, v1 = detections_to_arrays(seed_res, board)
                 st["c1"], st["v1"] = c1, v1
                 st["c2"], st["v2"] = c1.copy(), np.zeros(n_tags, bool)
+                st["c3"], st["v3"] = c1.copy(), np.zeros(n_tags, bool)
 
-            with stage("detect/track"):
-                cor, acc, att = track_chunk(
-                    self.family, part, board_xy, first_dev,
-                    jnp.asarray(st["c2"]), jnp.asarray(st["v2"]),
-                    jnp.asarray(st["c1"]), jnp.asarray(st["v1"]),
+            # cadence audit frames of this chunk are known a priori: their
+            # threshold is dispatched right after the tracking scan so the
+            # device overlaps both while the host waits on the scan fetch
+            cadence = [
+                pos + k
+                for k in range(nb)
+                if self.cold_every > 0
+                and (st["frame_idx"] + k) % self.cold_every == 0
+                and not (seed_res is not None and pos + k == pos)
+            ]
+            # chunk-local tracked-output arrays, re-scannable mid-chunk
+            cor = np.zeros((nb, n_tags, 4, 2), np.float32)
+            acc = np.zeros((nb, n_tags), bool)
+            att = np.zeros((nb, n_tags), bool)
+            ben = np.zeros((nb, n_tags), bool)
+
+            def apply_scan(f0: int, arrs) -> None:
+                """Write scan outputs for frames [f0, pos+nb) into the
+                chunk-local arrays and (re)build their tracked results;
+                frames already cold-merged keep the cold detections and
+                re-merge the fresh tracked ones."""
+                for k in range(f0 - pos, nb):
+                    j = k - (f0 - pos)
+                    cor[k] = arrs[0][j]
+                    acc[k] = arrs[1][j]
+                    att[k] = arrs[2][j]
+                    ben[k] = arrs[3][j]
+                    f = pos + k
+                    tracked = {
+                        int(t) + first: cor[k, t].copy()
+                        for t in np.flatnonzero(acc[k])
+                    }
+                    if f in coldres:
+                        merged = dict(coldres[f])
+                        for t, cc in tracked.items():
+                            if t not in merged:
+                                merged[t] = cc
+                        results[f] = merged
+                    else:
+                        results[f] = tracked
+
+            kb_ttl = max(1, self.cold_every // 2)
+
+            def fails_at(k: int) -> set:
+                return set(
+                    int(t) for t in np.flatnonzero(att[k] & ~acc[k] & ~ben[k])
                 )
-                cor = np.asarray(cor)
-                acc = np.asarray(acc)
-                att = np.asarray(att)
 
-            trig: List[int] = []
-            for k in range(nb):
-                f = pos + k
-                results[f] = {
-                    int(t) + first: cor[k, t].copy()
-                    for t in np.flatnonzero(acc[k])
-                }
-                fails = set(int(t) for t in np.flatnonzero(att[k] & ~acc[k]))
+            def audit_trigger(k: int) -> bool:
                 gidx = st["frame_idx"] + k
-                if (
-                    (self.cold_every > 0 and gidx % self.cold_every == 0)
-                    or not fails <= st["known_bad"]
+                active_kb = {
+                    t for t, g in st["known_bad"].items() if gidx - g <= kb_ttl
+                }
+                return (
+                    not fails_at(k) <= active_kb
                     or int(acc[k].sum()) < MIN_TRACK_TAGS
-                ):
-                    trig.append(f)
+                )
 
-            coldres: Dict[int, Dict[int, np.ndarray]] = {}
-            trig_run = [f for f in trig if not (seed_res is not None and f == pos)]
-            if trig_run:
-                with stage("detect/track-cold"):
-                    coldres = run_cold(trig_run)
-            if seed_res is not None:
-                coldres[pos] = seed_res
-
-            # merge (cold wins; tracked fills tags cold missed) + update
-            # the known-bad memory from the chunk's LAST cold frame
-            for f in sorted(coldres):
+            def merge_frame(f: int) -> bool:
+                """Fold a cold result into frame f; update the known-bad
+                memory; return True when cold contributed tags tracking
+                lacked (i.e. the scan carry past f is improvable)."""
+                k = f - pos
                 merged = dict(coldres[f])
+                added = any(t not in results[f] for t in merged)
                 for t, cc in results[f].items():
                     if t not in merged:
                         merged[t] = cc
                 results[f] = merged
-                k = f - pos
-                det = np.zeros(n_tags, bool)
-                for t in merged:
-                    tl = int(t) - first
-                    if 0 <= tl < n_tags:
-                        det[tl] = True
-                st["known_bad"] = set(
-                    int(t) for t in np.flatnonzero(att[k] & ~det)
-                )
+                # known-bad accepts only COLD-CONFIRMED failures and
+                # releases any tag cold detects: a tracked hard-failure on
+                # a tag cold can find is a genuine tracking deficiency and
+                # must keep triggering audits.  Pure decode flicker never
+                # reaches this set — the benign classification absorbs it.
+                det_ids = {int(t) - first for t in merged}
+                gidx = st["frame_idx"] + k
+                for t in fails_at(k) - det_ids:
+                    st["known_bad"][t] = gidx
+                # entries are NOT removed when the tag reappears — they
+                # expire via the TTL instead.  Removal re-armed the audit
+                # on every detect->fail flip of marginal rim tags (both
+                # pipelines flicker on them, weakly correlated), costing a
+                # cold frame every 2-3 frames; with expiry each such tag
+                # costs at most one audit per TTL window.
+                return added
+
+            coldres: Dict[int, Dict[int, np.ndarray]] = {}
+            with stage("detect/track"):
+                arrs = scan_from(pos, (
+                    st["c3"], st["v3"], st["c2"], st["v2"], st["c1"], st["v1"],
+                ))
+                cad_packed = None
+                if cadence:
+                    grp = cadence[: self.cold_chunk]
+                    idx = np.asarray(
+                        grp + [grp[-1]] * (self.cold_chunk - len(grp)), np.int32
+                    )
+                    cad_packed = self._threshold_packed_for(
+                        jnp.take(dev_all, jnp.asarray(idx), axis=0)
+                    )
+            if seed_res is not None:
+                coldres[pos] = seed_res
+            apply_scan(pos, arrs)
+
+            with stage("detect/track-cold"):
+                if cadence:
+                    coldres.update(
+                        run_cold(
+                            cadence,
+                            packed_pre=(
+                                cad_packed
+                                if len(cadence) <= self.cold_chunk
+                                else None
+                            ),
+                        )
+                    )
+                for f in sorted(coldres):
+                    merge_frame(f)
+
+                # Audit-repair loop: cold-verify the FIRST suspect frame;
+                # when cold recovers tags tracking lost, re-seed the carry
+                # there and RE-SCAN the rest of the chunk — without this a
+                # single bad frame poisons the in-scan carry and every
+                # later frame of the chunk becomes a fallback (measured:
+                # a coasting-velocity runaway turned 1 failed frame into
+                # 27 cold frames).
+                for _repair in range(4):
+                    trig = [
+                        pos + k
+                        for k in range(nb)
+                        if pos + k not in coldres and audit_trigger(k)
+                    ]
+                    if not trig:
+                        break
+                    f0 = trig[0]
+                    self.stats["trigger_frames"] += 1
+                    coldres.update(run_cold([f0]))
+                    improved = merge_frame(f0)
+                    if improved and f0 < pos + nb - 1:
+                        with stage("detect/track"):
+                            arrs = scan_from(f0 + 1, carry_at(f0))
+                        apply_scan(f0 + 1, arrs)
+                # safety sweep: anything still suspect goes cold outright
+                trig = [
+                    pos + k
+                    for k in range(nb)
+                    if pos + k not in coldres and audit_trigger(k)
+                ]
+                if trig:
+                    self.stats["trigger_frames"] += len(trig)
+                    coldres.update(run_cold(trig))
+                    for f in trig:
+                        merge_frame(f)
 
             last = pos + nb - 1
             c1, v1 = detections_to_arrays(results[last], board)
@@ -602,7 +758,14 @@ class TagDetector:
                 c2, v2 = detections_to_arrays(results[last - 1], board)
             else:
                 c2, v2 = st["c1"], st["v1"]
+            if nb >= 3:
+                c3, v3 = detections_to_arrays(results[last - 2], board)
+            elif nb == 2:
+                c3, v3 = st["c1"], st["v1"]
+            else:
+                c3, v3 = st["c2"], st["v2"]
             st["c1"], st["v1"], st["c2"], st["v2"] = c1, v1, c2, v2
+            st["c3"], st["v3"] = c3, v3
             st["frame_idx"] += nb
             pos += nb
         return results

@@ -17,9 +17,19 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-WIN = 4  # half-window (9x9)
+# Half-window 3 (7x7): measured on 512^2 EUCM synthetic (small ~25 px
+# tags, noise 1.5), re-refining ground-truth corners: win=4 drags corners
+# toward foreign structure (neighboring data-cell edges inside the window)
+# with p95 error 1.25 px and a drifting attractor under repeated
+# refinement (p95 1.5, max 4.5 px after 6 re-refines — which the tracking
+# fast path applies frame over frame); win=3 is unbiased AND
+# iteration-stable (p95 0.23 px both single and re-refined).
+WIN = 3
+#: capture radius (total-shift clamp) stays at 4 px, decoupled from the
+#: window: CCL quad corners start up to ~4 px off on the pyramid path
+MAX_SHIFT = 4.0
 # 10 iterations: the 1 px/iter step clamp needs ~4 to cross a CCL quad's
-# corner bias, then ~0.07 px/iter linear polish — 6 left a measurable
+# corner bias, then fast linear polish — 6 left a measurable
 # init-dependent residual (tracked-vs-cold corners differed by ~0.07 px).
 # Each extra iteration is one 4-gather bilinear sample + a 2x2 solve.
 ITERS = 10
@@ -59,7 +69,10 @@ def _sep_corr(maps, kx, ky):
     return sum(kx[k] * rows[:, :, k : k + P] for k in range(2 * win + 1))
 
 
-def refine_patches(patches, local, win: int = WIN, iters: int = ITERS):
+def refine_patches(
+    patches, local, win: int = WIN, iters: int = ITERS,
+    max_shift: float = MAX_SHIFT,
+):
     """Patch-based subpixel refinement, fully on device.
 
     Same fixed point as ``refine_corners``'s cornerSubPix iteration —
@@ -149,8 +162,22 @@ def refine_patches(patches, local, win: int = WIN, iters: int = ITERS):
     refined, _ = jax.lax.scan(step, local, None, length=iters)
     total = refined - local
     norm = jnp.linalg.norm(total, axis=1, keepdims=True)
-    scale = jnp.minimum(1.0, win / jnp.maximum(norm, 1e-9))
+    scale = jnp.minimum(1.0, max_shift / jnp.maximum(norm, 1e-9))
     return local + total * scale
+
+
+def refine_patches_2stage(patches, local):
+    """Capture-and-polish refinement used by the fused decode graphs.
+
+    Measured (512^2 EUCM synthetic, small tags, noise 1.5): win=3 with
+    extra iterations dominates win=4 at EVERY start offset (off 2.5 px:
+    94% of corners land within 0.5 px, p95 0.62 vs win=4's 88%/1.55 —
+    the 9x9 window's attractor is biased by neighboring cell edges), and
+    an actual win=4 pre-stage made things worse (its wrong attractors
+    strand corners outside the polish basin).  So: one unbiased stage,
+    12 iterations, capture clamp 4.5 px.
+    """
+    return refine_patches(patches, local, win=3, iters=12, max_shift=4.5)
 
 
 @partial(jax.jit, static_argnames=("win", "iters"))
@@ -196,7 +223,7 @@ def refine_corners(images, corners, win: int = WIN, iters: int = ITERS):
         refined, _ = jax.lax.scan(step, corners_i, None, length=iters)
         total = refined - corners_i
         norm = jnp.linalg.norm(total, axis=1, keepdims=True)
-        scale = jnp.minimum(1.0, win / jnp.maximum(norm, 1e-9))
+        scale = jnp.minimum(1.0, MAX_SHIFT / jnp.maximum(norm, 1e-9))
         return corners_i + total * scale
 
     return jax.vmap(per_image)(gx, gy, corners)

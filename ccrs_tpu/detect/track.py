@@ -37,7 +37,7 @@ import numpy as np
 from .decode import _decode_core, unsharp
 from .families import TagFamily
 from .patches import extract_patches
-from .refine import refine_patches
+from .refine import refine_patches_2stage
 
 #: id-match acceptance allows a relaxed budget, like assist.ASSIST_EXTRA_HAMMING
 TRACK_EXTRA_HAMMING = 2
@@ -52,6 +52,16 @@ MIN_QUAD_AREA = 49.0
 #: prediction straddling the border — attempting (and failing) it makes it
 #: auditable by the cold-fallback trigger instead of silently skipped
 EDGE_MARGIN = 8.0
+#: a failed decode counts as cold-equivalent (non-triggering) only when
+#: refinement moved every corner less than this (well inside the 4 px
+#: capture clamp — converged localization, so the failure is decode noise)
+BENIGN_MAX_DISP = 3.0
+#: frames a lost tag "coasts" on its last known position (advanced by the
+#: global scene velocity) before prediction falls back to the local
+#: homography.  Flickering marginal tags lose one frame at a time; their
+#: own last position is far more accurate than homography EXTRAPOLATION,
+#: which degrades at the fisheye rim exactly where those tags live.
+MAX_COAST = 8
 
 
 def _fit_h_batch(src, dst):
@@ -112,8 +122,11 @@ def _apply_h_batch(H, pts):
     return p[:, :, :2] / z[:, :, None]
 
 
-@partial(jax.jit, static_argnames=("family",))
-def track_chunk(family: TagFamily, images, board_xy, first_id, p2c, p2v, p1c, p1v):
+@partial(jax.jit, static_argnames=("family", "debug"))
+def track_chunk(
+    family: TagFamily, images, board_xy, first_id,
+    p3c, p3v, p2c, p2v, p1c, p1v, debug: bool = False,
+):
     """Track all board tags through a chunk of consecutive frames.
 
     Args:
@@ -121,14 +134,16 @@ def track_chunk(family: TagFamily, images, board_xy, first_id, p2c, p2v, p1c, p1
       board_xy: (n_tags, 4, 2) f32 board-plane tag corner coordinates.
       first_id: int32 scalar — board tag id offset (decode tag ids are
         ``first_id + local_index``).
-      p2c/p2v: (n_tags, 4, 2) corners + (n_tags,) validity of frame -2
-        (for constant-velocity prediction; pass p2v=False to disable).
-      p1c/p1v: same for frame -1 (the prediction seed).
+      p3c/p3v: (n_tags, 4, 2) corners + (n_tags,) validity of frame -3
+        (enables constant-ACCELERATION prediction; pass p3v=False to
+        degrade to constant velocity).
+      p2c/p2v: same for frame -2; p1c/p1v: frame -1 (the seed).
 
     Returns (corners (C, n_tags, 4, 2), accepted (C, n_tags),
-    attempted (C, n_tags)) where ``attempted`` marks tags whose predicted
-    quad was valid and fully in-bounds — the set the fallback policy
-    audits (an attempted-but-unaccepted tag is a potential miss).
+    attempted (C, n_tags), benign (C, n_tags)) where ``attempted`` marks
+    tags whose predicted quad was valid and fully in-bounds — the set the
+    fallback policy audits — and ``benign`` the attempted failures whose
+    localization converged (cold-equivalent decode noise).
     """
     imgs = images.astype(jnp.float32)
     sharp_all = unsharp(imgs)
@@ -140,14 +155,21 @@ def track_chunk(family: TagFamily, images, board_xy, first_id, p2c, p2v, p1c, p1
 
     def step(carry, xs):
         img, simg = xs
-        c2, v2, c1, v1 = carry
+        c3, v3, c2, v2, c1, v1, coast_c, coast_v, coast_age = carry
         both = v1 & v2
         vel = jnp.where(both[:, None, None], c1 - c2, 0.0)
         nv = jnp.maximum(jnp.sum(both), 1)
         gvel = jnp.sum(vel * both[:, None, None], axis=(0, 1)) / (nv * 4)
-        pred_id = c1 + vel  # constant-velocity identity prediction
+        # quadratic (constant-acceleration) extrapolation through the last
+        # three observations where available, else constant velocity:
+        # handheld sweeps accelerate (measured ~3-4 px/frame^2 on the
+        # smooth-trajectory bench), which breaks linear prediction right
+        # past the refine capture radius
+        quad_ok = both & v3
+        pred_quad = 3.0 * c1 - 3.0 * c2 + c3
+        pred_id = jnp.where(quad_ok[:, None, None], pred_quad, c1 + vel)
 
-        # local homography prediction (for tags missing in frame -1)
+        # local homography prediction (tags missing longer than MAX_COAST)
         d2m = d2_all + jnp.where(v1, 0.0, 1e12)[None, :]
         negd, idx = jax.lax.top_k(-d2m, N_NEIGHBORS)  # (n_tags, k)
         nb_ok = (-negd < 1e11).all(axis=1)  # all k neighbors decoded
@@ -158,8 +180,18 @@ def track_chunk(family: TagFamily, images, board_xy, first_id, p2c, p2v, p1c, p1
         h_ok = nb_ok & jnp.isfinite(ph).all(axis=(1, 2))
         ph = jnp.nan_to_num(ph)
 
-        pred = jnp.where(v1[:, None, None], pred_id, ph)
-        pred_ok = v1 | h_ok
+        # recently-lost tags coast on their own last position advanced by
+        # their own remembered velocity (global velocity is wrong at the
+        # fisheye rim under rotation — exactly where marginal tags live;
+        # homography extrapolation degrades there too)
+        coast_p = coast_c + coast_v
+        coasting = (~v1) & (coast_age <= MAX_COAST)
+        pred = jnp.where(
+            v1[:, None, None],
+            pred_id,
+            jnp.where(coasting[:, None, None], coast_p, ph),
+        )
+        pred_ok = v1 | coasting | h_ok
         # decode expects clockwise traversal in image coordinates (the
         # canonical Kalibr corner order comes out counter-clockwise)
         x, y = pred[..., 0], pred[..., 1]
@@ -178,21 +210,58 @@ def track_chunk(family: TagFamily, images, board_xy, first_id, p2c, p2v, p1c, p1
         corners = pred_t.reshape(-1, 2)
         cframe = jnp.zeros(corners.shape[0], dtype=jnp.int32)
         patches, local, offset = extract_patches(img[None], corners, cframe)
-        quads = (refine_patches(patches, local) + offset).reshape(n_tags, 4, 2)
+        quads = (refine_patches_2stage(patches, local) + offset).reshape(n_tags, 4, 2)
         dec = _decode_core(
             family, simg[None], quads, jnp.zeros(n_tags, jnp.int32), attempt
         )
+        id_match = dec["tag_id"] == exp_id
         acc = (
             attempt
             & dec["contrast_ok"]
-            & (dec["tag_id"] == exp_id)
+            & id_match
             & (dec["hamming"] <= family.max_hamming + TRACK_EXTRA_HAMMING)
+        )
+        # decode-limited failures are COLD-EQUIVALENT, not tracking misses:
+        # the right tag id at a well-converged quad (refinement stayed well
+        # inside its capture radius) with healthy contrast, only the
+        # hamming over budget — the cold pipeline would localize the same
+        # quad and run the same decode on the same pixels, so it fails the
+        # (stricter, max_hamming) budget too.  Excluding these from the
+        # fallback audit stops noise-flickering marginal tags from
+        # triggering a cold run every frame (measured: 19.7 s of cold
+        # fallbacks over a 534-frame bench without this).
+        disp = jnp.linalg.norm(quads - pred_t, axis=-1).max(axis=-1)
+        benign = (
+            attempt
+            & ~acc
+            & id_match
+            & dec["contrast_ok"]
+            & (disp < BENIGN_MAX_DISP)
         )
         out_c = dec["corners"]
         new_c = jnp.where(acc[:, None, None], out_c, pred_id)
-        return (c1, v1, new_c, acc), (out_c, acc, attempt)
+        new_coast = jnp.where(acc[:, None, None], out_c, coast_p)
+        # per-tag velocity memory: observed motion at accept, carried
+        # (unchanged) through misses; fresh re-acquisitions fall back to
+        # the global mean velocity
+        obs_v = jnp.where(
+            (acc & v1)[:, None, None],
+            out_c - c1,
+            jnp.broadcast_to(gvel, coast_v.shape),
+        )
+        new_coast_v = jnp.where(acc[:, None, None], obs_v, coast_v)
+        new_age = jnp.where(acc, 0, coast_age + 1)
+        ys = (out_c, acc, attempt, benign)
+        if debug:
+            ys = ys + (pred, disp, dec["tag_id"], dec["hamming"],
+                       dec["contrast_ok"], v1, coasting, quad_ok)
+        return (
+            (c2, v2, c1, v1, new_c, acc, new_coast, new_coast_v, new_age),
+            ys,
+        )
 
-    init = (p2c, p2v, p1c, p1v)
+    init_age = jnp.where(p1v, 0, MAX_COAST + 1).astype(jnp.int32)
+    init = (p3c, p3v, p2c, p2v, p1c, p1v, p1c, jnp.zeros_like(p1c), init_age)
     _, ys = jax.lax.scan(step, init, (imgs, sharp_all))
     return ys
 

@@ -253,7 +253,14 @@ def unproject_opencv5(params, p2d):
 
 def project_ftheta(params, p3d):
     """NVidia-style f-theta fisheye: pixel radius is an odd polynomial of the
-    incidence angle, r_d(theta) = theta * (1 + k1 th^2 + ... + k5 th^10)."""
+    incidence angle, r_d(theta) = theta * (1 + k1 th^2 + ... + k5 th^10).
+
+    Semantic-parity caveat: the reference's FTHETA lives in the unvendored
+    `camera-intrinsic-model` crate (README.md:82) and could not be diffed
+    offline; NVidia's published spec also carries a backward polynomial and
+    a linear extension region that this implementation does not.  See
+    PARITY.md "FTHETA semantic-parity note" for the accepted risk.
+    """
     fx, fy, cx, cy = (params[..., i] for i in range(4))
     ks = [params[..., 4 + i] for i in range(5)]
     x, y, z = p3d[..., 0], p3d[..., 1], p3d[..., 2]
