@@ -560,16 +560,22 @@ class TagDetector:
 
         results: List[Dict[int, np.ndarray]] = [dict() for _ in range(B)]
 
-        def scan_from(f0: int, carry6) -> tuple:
-            """Run the tracking scan over frames [f0, f0+C) (clamped,
-            repeat-last padded) with the given (c3,v3,c2,v2,c1,v1) carry."""
+        def scan_dispatch(f0: int, carry6):
+            """Enqueue the tracking scan over frames [f0, f0+C) (clamped,
+            repeat-last padded) with the given (c3,v3,c2,v2,c1,v1) carry;
+            returns device arrays (fetch with scan_fetch)."""
             idx = np.minimum(np.arange(f0, f0 + C), B - 1).astype(np.int32)
             partx = jnp.take(dev_all, jnp.asarray(idx), axis=0)
-            outs = track_chunk(
+            return track_chunk(
                 self.family, partx, board_xy, first_dev,
                 *(jnp.asarray(a) for a in carry6),
             )
+
+        def scan_fetch(outs) -> tuple:
             return tuple(np.asarray(o) for o in outs)
+
+        def scan_from(f0: int, carry6) -> tuple:
+            return scan_fetch(scan_dispatch(f0, carry6))
 
         def carry_at(f: int) -> tuple:
             """(c3,v3,c2,v2,c1,v1) carry from merged results ending at f."""
@@ -585,6 +591,7 @@ class TagDetector:
             return (c3, v3, c2, v2, c1, v1)
 
         pos = 0
+        prefetch = None  # (start_frame, carry, device outs) of the next scan
         while pos < B:
             nb = min(C, B - pos)
 
@@ -639,7 +646,11 @@ class TagDetector:
                     else:
                         results[f] = tracked
 
-            kb_ttl = max(1, self.cold_every // 2)
+            # expiry just past the cadence interval: cadence audits
+            # re-confirm persistent failures, so entries never expire
+            # mid-window (a TTL below the cadence forced an extra audit
+            # per window per bad tag); staleness stays cadence-bounded
+            kb_ttl = self.cold_every + 2
 
             def fails_at(k: int) -> set:
                 return set(
@@ -686,9 +697,21 @@ class TagDetector:
 
             coldres: Dict[int, Dict[int, np.ndarray]] = {}
             with stage("detect/track"):
-                arrs = scan_from(pos, (
+                carry_now = (
                     st["c3"], st["v3"], st["c2"], st["v2"], st["c1"], st["v1"],
-                ))
+                )
+                if (
+                    prefetch is not None
+                    and prefetch[0] == pos
+                    and all(
+                        np.array_equal(a, b)
+                        for a, b in zip(prefetch[1], carry_now)
+                    )
+                ):
+                    arrs = scan_fetch(prefetch[2])
+                else:
+                    arrs = scan_from(pos, carry_now)
+                prefetch = None
                 cad_packed = None
                 if cadence:
                     grp = cadence[: self.cold_chunk]
@@ -701,6 +724,17 @@ class TagDetector:
             if seed_res is not None:
                 coldres[pos] = seed_res
             apply_scan(pos, arrs)
+            if pos + nb < B:
+                # software pipeline: enqueue the NEXT chunk's scan on the
+                # tracked-only carry so the device runs it while the host
+                # audits this chunk; if the audits end up correcting the
+                # carry (rare), the prefetch is dropped at the next
+                # iteration's equality check and re-dispatched
+                with stage("detect/track"):
+                    pre_carry = carry_at(pos + nb - 1)
+                    prefetch = (
+                        pos + nb, pre_carry, scan_dispatch(pos + nb, pre_carry)
+                    )
 
             with stage("detect/track-cold"):
                 if cadence:
@@ -738,8 +772,8 @@ class TagDetector:
                     improved = merge_frame(f0)
                     if improved and f0 < pos + nb - 1:
                         with stage("detect/track"):
-                            arrs = scan_from(f0 + 1, carry_at(f0))
-                        apply_scan(f0 + 1, arrs)
+                            arrs2 = scan_from(f0 + 1, carry_at(f0))
+                        apply_scan(f0 + 1, arrs2)
                 # safety sweep: anything still suspect goes cold outright
                 trig = [
                     pos + k
