@@ -488,19 +488,28 @@ class TagDetector:
     def _detect_batch_tracked(self, dev_all, board) -> List[Dict[int, np.ndarray]]:
         """Tracking-mode orchestration (see track.py for the device graph).
 
-        Fallback policy — a frame re-runs the cold pipeline when any holds:
-          * cadence: its global index hits ``cold_every`` (bounds how long
-            the "known bad" occlusion memory can be stale);
-          * a tag with a valid, fully in-bounds prediction failed to decode
-            and is not already known-bad (known-bad = tags the last cold
-            frame ALSO failed on while predicted in-bounds, i.e. genuinely
-            undetectable — occlusion, damage);
-          * fewer than MIN_TRACK_TAGS tags were accepted (the carry cannot
-            seed the next frame).
-        Cold results take precedence; tracked tags the cold pass missed are
-        merged in (prediction + id-match decode — the assist acceptance
-        rule).  The carry persists across detect_batch calls so streaming
-        loaders (dataloader chunks) keep tracking; reset_tracking() between
+        Two audit tiers keep recall anchored to the cold pipeline:
+
+        * INLINE trigger repair — a frame is suspect when a tag with a
+          valid in-bounds prediction hard-failed (not benign, not
+          known-bad) or too few tags were accepted.  The leading suspect
+          group is cold-verified immediately; when cold recovers tags
+          tracking lost, the carry is re-seeded there and the rest of the
+          chunk RE-SCANNED (one bad frame must not poison the chunk).
+        * POST-HOC cadence audit — every ``cold_every``-th frame is
+          cold-verified in one batched phased sweep after the main loop;
+          improvements re-scan the following window.  This bounds how long
+          a predictor blind spot (a tag cold finds but prediction+decode
+          cannot re-acquire) can persist: at most one cadence interval.
+
+        known_bad = tags whose hard failure a cold audit CONFIRMED
+        (genuinely undetectable then: occlusion, rim clipping); their
+        later failures don't re-trigger.  Entries are never removed —
+        recovery happens through per-frame re-attempts or audits.
+
+        Cold results take precedence; tracked tags the cold pass missed
+        are merged in.  The carry persists across detect_batch calls so
+        streaming loaders keep tracking; reset_tracking() between
         unrelated sequences.
         """
         import jax
@@ -559,6 +568,13 @@ class TagDetector:
             return outres
 
         results: List[Dict[int, np.ndarray]] = [dict() for _ in range(B)]
+        # whole-batch tracked outputs (bool masks + corners; ~0.6 MB at
+        # 534 frames) — global arrays keep the audit logic chunk-agnostic
+        g_cor = np.zeros((B, n_tags, 4, 2), np.float32)
+        g_acc = np.zeros((B, n_tags), bool)
+        g_att = np.zeros((B, n_tags), bool)
+        g_ben = np.zeros((B, n_tags), bool)
+        coldres: Dict[int, Dict[int, np.ndarray]] = {}
 
         def scan_dispatch(f0: int, carry6):
             """Enqueue the tracking scan over frames [f0, f0+C) (clamped,
@@ -590,6 +606,74 @@ class TagDetector:
                 c3, v3 = c1.copy(), np.zeros(n_tags, bool)
             return (c3, v3, c2, v2, c1, v1)
 
+        def write_result(f: int) -> None:
+            """Rebuild results[f] from the tracked arrays, folding in any
+            cold detections (cold wins on conflicts)."""
+            tracked = {
+                int(t) + first: g_cor[f, t].copy()
+                for t in np.flatnonzero(g_acc[f])
+            }
+            if f in coldres:
+                merged = dict(coldres[f])
+                for t, cc in tracked.items():
+                    if t not in merged:
+                        merged[t] = cc
+                results[f] = merged
+            else:
+                results[f] = tracked
+
+        def apply_scan(f0: int, arrs, upto: int) -> None:
+            """Write scan outputs into the global arrays for frames
+            [f0, upto) and rebuild their results."""
+            n = min(C, upto - f0, B - f0)
+            g_cor[f0 : f0 + n] = arrs[0][:n]
+            g_acc[f0 : f0 + n] = arrs[1][:n]
+            g_att[f0 : f0 + n] = arrs[2][:n]
+            g_ben[f0 : f0 + n] = arrs[3][:n]
+            for f in range(f0, f0 + n):
+                write_result(f)
+
+        def fails_at(f: int) -> set:
+            return set(
+                int(t)
+                for t in np.flatnonzero(g_att[f] & ~g_acc[f] & ~g_ben[f])
+            )
+
+        def audit_trigger(f: int) -> bool:
+            return (
+                not fails_at(f) <= st["known_bad"].keys()
+                or int(g_acc[f].sum()) < MIN_TRACK_TAGS
+            )
+
+        def merge_frame(f: int) -> bool:
+            """Fold a cold result into frame f; extend the known-bad
+            memory with COLD-CONFIRMED failures; return True when cold
+            contributed tags tracking lacked (carry past f improvable).
+
+            Entries are never removed when a tag reappears: removal
+            re-armed the audit on every detect->fail flip of marginal rim
+            tags (both pipelines flicker on them, weakly correlated).  A
+            known-bad tag that becomes findable again is recovered by the
+            per-frame predict+decode or, at the latest, by the next
+            audited frame's merge + forward re-scan — the cadence bounds
+            the staleness."""
+            added = any(t not in results[f] for t in coldres[f])
+            det_ids = {int(t) - first for t in coldres[f]} | {
+                int(t) - first for t in results[f]
+            }
+            for t in fails_at(f) - det_ids:
+                st["known_bad"][t] = start_gidx + f
+            write_result(f)
+            return added
+
+        start_gidx = st["frame_idx"]
+        # absolute indices of the cadence audit frames (known a priori)
+        cadence_all = (
+            [f for f in range(B) if (start_gidx + f) % self.cold_every == 0]
+            if self.cold_every > 0
+            else []
+        )
+
         pos = 0
         prefetch = None  # (start_frame, carry, device outs) of the next scan
         while pos < B:
@@ -600,102 +684,12 @@ class TagDetector:
                 # first frame ever: cold-detect it to seed the carry
                 with stage("detect/track-cold"):
                     seed_res = run_cold([pos])[pos]
+                coldres[pos] = seed_res
                 c1, v1 = detections_to_arrays(seed_res, board)
                 st["c1"], st["v1"] = c1, v1
                 st["c2"], st["v2"] = c1.copy(), np.zeros(n_tags, bool)
                 st["c3"], st["v3"] = c1.copy(), np.zeros(n_tags, bool)
 
-            # cadence audit frames of this chunk are known a priori: their
-            # threshold is dispatched right after the tracking scan so the
-            # device overlaps both while the host waits on the scan fetch
-            cadence = [
-                pos + k
-                for k in range(nb)
-                if self.cold_every > 0
-                and (st["frame_idx"] + k) % self.cold_every == 0
-                and not (seed_res is not None and pos + k == pos)
-            ]
-            # chunk-local tracked-output arrays, re-scannable mid-chunk
-            cor = np.zeros((nb, n_tags, 4, 2), np.float32)
-            acc = np.zeros((nb, n_tags), bool)
-            att = np.zeros((nb, n_tags), bool)
-            ben = np.zeros((nb, n_tags), bool)
-
-            def apply_scan(f0: int, arrs) -> None:
-                """Write scan outputs for frames [f0, pos+nb) into the
-                chunk-local arrays and (re)build their tracked results;
-                frames already cold-merged keep the cold detections and
-                re-merge the fresh tracked ones."""
-                for k in range(f0 - pos, nb):
-                    j = k - (f0 - pos)
-                    cor[k] = arrs[0][j]
-                    acc[k] = arrs[1][j]
-                    att[k] = arrs[2][j]
-                    ben[k] = arrs[3][j]
-                    f = pos + k
-                    tracked = {
-                        int(t) + first: cor[k, t].copy()
-                        for t in np.flatnonzero(acc[k])
-                    }
-                    if f in coldres:
-                        merged = dict(coldres[f])
-                        for t, cc in tracked.items():
-                            if t not in merged:
-                                merged[t] = cc
-                        results[f] = merged
-                    else:
-                        results[f] = tracked
-
-            # expiry just past the cadence interval: cadence audits
-            # re-confirm persistent failures, so entries never expire
-            # mid-window (a TTL below the cadence forced an extra audit
-            # per window per bad tag); staleness stays cadence-bounded
-            kb_ttl = self.cold_every + 2
-
-            def fails_at(k: int) -> set:
-                return set(
-                    int(t) for t in np.flatnonzero(att[k] & ~acc[k] & ~ben[k])
-                )
-
-            def audit_trigger(k: int) -> bool:
-                gidx = st["frame_idx"] + k
-                active_kb = {
-                    t for t, g in st["known_bad"].items() if gidx - g <= kb_ttl
-                }
-                return (
-                    not fails_at(k) <= active_kb
-                    or int(acc[k].sum()) < MIN_TRACK_TAGS
-                )
-
-            def merge_frame(f: int) -> bool:
-                """Fold a cold result into frame f; update the known-bad
-                memory; return True when cold contributed tags tracking
-                lacked (i.e. the scan carry past f is improvable)."""
-                k = f - pos
-                merged = dict(coldres[f])
-                added = any(t not in results[f] for t in merged)
-                for t, cc in results[f].items():
-                    if t not in merged:
-                        merged[t] = cc
-                results[f] = merged
-                # known-bad accepts only COLD-CONFIRMED failures and
-                # releases any tag cold detects: a tracked hard-failure on
-                # a tag cold can find is a genuine tracking deficiency and
-                # must keep triggering audits.  Pure decode flicker never
-                # reaches this set — the benign classification absorbs it.
-                det_ids = {int(t) - first for t in merged}
-                gidx = st["frame_idx"] + k
-                for t in fails_at(k) - det_ids:
-                    st["known_bad"][t] = gidx
-                # entries are NOT removed when the tag reappears — they
-                # expire via the TTL instead.  Removal re-armed the audit
-                # on every detect->fail flip of marginal rim tags (both
-                # pipelines flicker on them, weakly correlated), costing a
-                # cold frame every 2-3 frames; with expiry each such tag
-                # costs at most one audit per TTL window.
-                return added
-
-            coldres: Dict[int, Dict[int, np.ndarray]] = {}
             with stage("detect/track"):
                 carry_now = (
                     st["c3"], st["v3"], st["c2"], st["v2"], st["c1"], st["v1"],
@@ -712,18 +706,7 @@ class TagDetector:
                 else:
                     arrs = scan_from(pos, carry_now)
                 prefetch = None
-                cad_packed = None
-                if cadence:
-                    grp = cadence[: self.cold_chunk]
-                    idx = np.asarray(
-                        grp + [grp[-1]] * (self.cold_chunk - len(grp)), np.int32
-                    )
-                    cad_packed = self._threshold_packed_for(
-                        jnp.take(dev_all, jnp.asarray(idx), axis=0)
-                    )
-            if seed_res is not None:
-                coldres[pos] = seed_res
-            apply_scan(pos, arrs)
+            apply_scan(pos, arrs, pos + nb)
             if pos + nb < B:
                 # software pipeline: enqueue the NEXT chunk's scan on the
                 # tracked-only carry so the device runs it while the host
@@ -737,20 +720,6 @@ class TagDetector:
                     )
 
             with stage("detect/track-cold"):
-                if cadence:
-                    coldres.update(
-                        run_cold(
-                            cadence,
-                            packed_pre=(
-                                cad_packed
-                                if len(cadence) <= self.cold_chunk
-                                else None
-                            ),
-                        )
-                    )
-                for f in sorted(coldres):
-                    merge_frame(f)
-
                 # Audit-repair loop: cold-verify the FIRST suspect frame;
                 # when cold recovers tags tracking lost, re-seed the carry
                 # there and RE-SCAN the rest of the chunk — without this a
@@ -762,46 +731,113 @@ class TagDetector:
                     trig = [
                         pos + k
                         for k in range(nb)
-                        if pos + k not in coldres and audit_trigger(k)
+                        if pos + k not in coldres and audit_trigger(pos + k)
                     ]
                     if not trig:
                         break
-                    f0 = trig[0]
-                    self.stats["trigger_frames"] += 1
-                    coldres.update(run_cold([f0]))
-                    improved = merge_frame(f0)
-                    if improved and f0 < pos + nb - 1:
+                    # audit the whole leading suspect group in ONE cold
+                    # batch (a carry cascade makes consecutive frames
+                    # suspect; one frame per iteration paid the ~2 link
+                    # round trips per frame).  Assist is skipped: the cold
+                    # result only re-seeds the carry / audits localization,
+                    # and tracked detections merge on top anyway.
+                    grp = trig[: self.cold_chunk]
+                    self.stats["trigger_frames"] += len(grp)
+                    # assist is skippable only while tracking still carries
+                    # the frame's recall (the cold result then just re-seeds
+                    # / audits); when tracking collapsed, the cold result IS
+                    # the frame's content and needs full quality
+                    ok_skip = all(
+                        int(g_acc[f].sum()) >= 2 * MIN_TRACK_TAGS for f in grp
+                    )
+                    coldres.update(run_cold(grp, do_assist=not ok_skip))
+                    improved_at = None
+                    for f in grp:
+                        if merge_frame(f) and improved_at is None:
+                            improved_at = f
+                    if improved_at is not None and improved_at < pos + nb - 1:
                         with stage("detect/track"):
-                            arrs2 = scan_from(f0 + 1, carry_at(f0))
-                        apply_scan(f0 + 1, arrs2)
+                            arrs2 = scan_from(
+                                improved_at + 1, carry_at(improved_at)
+                            )
+                        apply_scan(improved_at + 1, arrs2, pos + nb)
                 # safety sweep: anything still suspect goes cold outright
                 trig = [
                     pos + k
                     for k in range(nb)
-                    if pos + k not in coldres and audit_trigger(k)
+                    if pos + k not in coldres and audit_trigger(pos + k)
                 ]
                 if trig:
                     self.stats["trigger_frames"] += len(trig)
-                    coldres.update(run_cold(trig))
+                    ok_skip = all(
+                        int(g_acc[f].sum()) >= 2 * MIN_TRACK_TAGS for f in trig
+                    )
+                    coldres.update(run_cold(trig, do_assist=not ok_skip))
                     for f in trig:
                         merge_frame(f)
 
             last = pos + nb - 1
-            c1, v1 = detections_to_arrays(results[last], board)
-            if nb >= 2:
-                c2, v2 = detections_to_arrays(results[last - 1], board)
-            else:
-                c2, v2 = st["c1"], st["v1"]
-            if nb >= 3:
-                c3, v3 = detections_to_arrays(results[last - 2], board)
-            elif nb == 2:
-                c3, v3 = st["c1"], st["v1"]
-            else:
-                c3, v3 = st["c2"], st["v2"]
-            st["c1"], st["v1"], st["c2"], st["v2"] = c1, v1, c2, v2
-            st["c3"], st["v3"] = c3, v3
+            (
+                st["c3"], st["v3"], st["c2"], st["v2"], st["c1"], st["v1"],
+            ) = carry_at(last)
             st["frame_idx"] += nb
             pos += nb
+
+        # ---- post-hoc cadence audit (recall insurance) ----------------
+        # One BATCHED phased sweep instead of per-chunk synchronous cold
+        # groups: at 534 frames the inline version cost ~0.45 s per group
+        # of mostly link latency; batching overlaps the downloads, the
+        # native quadproc and the decode fetches across groups.  Audited
+        # frames merge cold detections; when cold recovered tags tracking
+        # lost, the window after the frame is re-scanned from the
+        # corrected carry, so a predictor blind spot never persists past
+        # one cadence interval.
+        audit = [f for f in cadence_all if f not in coldres]
+        if audit:
+            with stage("detect/track-audit"):
+                G = self.cold_chunk
+                groups, packeds, subs = [], [], []
+                for g in range(0, len(audit), G):
+                    grp = audit[g : g + G]
+                    idx = np.asarray(
+                        grp + [grp[-1]] * (G - len(grp)), np.int32
+                    )
+                    sub = jnp.take(dev_all, jnp.asarray(idx), axis=0)
+                    groups.append(grp)
+                    subs.append(sub)
+                    packeds.append(self._threshold_packed_for(sub))
+                # phase 1: bitmaps -> quadproc -> enqueue decode
+                pend = []
+                for grp, sub, packed in zip(groups, subs, packeds):
+                    scale = 2 if max(H, W) >= self.pyramid_min_side else 1
+                    sH, sW = H // scale, W // scale
+                    pk = np.asarray(packed)
+                    b1 = np.unpackbits(pk, axis=-1, count=pk.shape[-1] * 8)[
+                        :, :sH, :sW
+                    ]
+                    quads, counts = self._extract_quads(b1, board, scale)
+                    out, qf, total = self._dispatch_decode(sub, quads, counts)
+                    pend.append((grp, out, qf, total))
+                    self.stats["cold_groups"] += 1
+                    self.stats["cold_frames"] += len(grp)
+                # phase 2: fetch + merge + forward re-scan on improvement
+                rescan_until = -1
+                for grp, out, qf, total in pend:
+                    res = self._collect_results(out, qf, total, len(grp))
+                    for k, f in enumerate(grp):
+                        coldres[f] = res[k]
+                for f in audit:
+                    improved = merge_frame(f)
+                    if improved and f >= rescan_until and f + 1 < B:
+                        with stage("detect/track"):
+                            arrs = scan_from(f + 1, carry_at(f))
+                        apply_scan(f + 1, arrs, min(f + 1 + C, B))
+                        # audited frames inside the window keep their cold
+                        # detections (write_result folds coldres back in)
+                        rescan_until = f + 1 + C
+            (
+                st["c3"], st["v3"], st["c2"], st["v2"], st["c1"], st["v1"],
+            ) = carry_at(B - 1)
         return results
 
     # -------------------------------------------------------------- single
