@@ -71,6 +71,15 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     )
 
     print(f"[{size}] rendering {n_frames} frames...", file=sys.stderr)
+    detector = TagDetector("t36h11")
+    # overlap the detect-graph loads/compiles with the render: the prewarm
+    # thread blocks on remote RPCs (GIL released) while the device renders
+    from threading import Thread
+
+    warm_thread = Thread(
+        target=lambda: detector.prewarm(size, size, board), daemon=True
+    )
+    warm_thread.start()
     # continuous handheld-video trajectory — the regime of the reference's
     # own acceptance dataset (TUM-VI calib video); see smooth_sequence_poses
     poses = smooth_sequence_poses(n_frames, board, seed=11)
@@ -96,7 +105,7 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
 
     if dev_imgs is None:
         imgs = render_host()
-    detector = TagDetector("t36h11")
+    warm_thread.join()
     times = list(range(n_frames))
 
     def pipeline(key):

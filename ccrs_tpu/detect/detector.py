@@ -37,7 +37,7 @@ from ..utils.profiling import stage
 from .decode import refine_decode_fused
 from .families import TagFamily, get_family
 from .quads import MAX_QUADS, extract_quads_batch
-from .threshold import adaptive_threshold_packed, pad_to_tile
+from .threshold import adaptive_threshold_packed, pad_to_tile, threshold_front
 
 
 import jax as _jax
@@ -177,6 +177,45 @@ class TagDetector:
         unrelated sequences; a stale carry only costs cold fallbacks, not
         correctness)."""
         self._tstate = None
+
+    def prewarm(self, height: int, width: int, board=None) -> None:
+        """Execute every device graph of the detect path on dummy inputs.
+
+        On the remote backend each graph pays a load (cached-compile) or
+        compile on first execution; calling this on a background thread
+        while the host renders/decodes images overlaps those loads with
+        useful work (the thread blocks on RPCs, releasing the GIL).
+        Safe to skip — first detection simply pays the loads itself.
+        """
+        import jax.numpy as jnp
+
+        C = self.chunk
+        scale = 2 if max(height, width) >= self.pyramid_min_side else 1
+        imgs = jnp.zeros((C, height, width), jnp.uint8)
+        threshold_front(imgs, scale).block_until_ready()
+        sub = jnp.zeros((self.cold_chunk, height, width), jnp.uint8)
+        threshold_front(sub, scale).block_until_ready()
+        bucket = self._bucket
+        qq = jnp.zeros((bucket, 4, 2), jnp.float32)
+        qf = jnp.zeros(bucket, jnp.int32)
+        qv = jnp.zeros(bucket, bool)
+        for b in (imgs, sub):
+            out = refine_decode_fused(
+                self.family, b, qq, qf, qv, do_refine=self.refine
+            )
+            out["valid"].block_until_ready()
+        if board is not None and self.track and self.refine:
+            from .track import track_chunk
+
+            n = board.n_tags
+            bxy = jnp.zeros((n, 4, 2), jnp.float32)
+            z = jnp.zeros(n, bool)
+            c = jnp.zeros((n, 4, 2), jnp.float32)
+            outs = track_chunk(
+                self.family, imgs, bxy, jnp.asarray(np.int32(0)),
+                c, z, c, z, c, z,
+            )
+            outs[1].block_until_ready()
 
     # ----------------------------------------------------- shared helpers
     def _extract_quads(self, b1, board, scale):
@@ -451,9 +490,7 @@ class TagDetector:
         sH, sW = H // scale, W // scale
         with stage("detect/threshold"):
             if packed_pre is None:
-                small = _pool2(dev_sub) if scale == 2 else dev_sub
-                padded, _, _ = pad_to_tile(small)
-                packed_pre = adaptive_threshold_packed(padded)
+                packed_pre = threshold_front(dev_sub, scale)
             packed = np.asarray(packed_pre)
             pw = int(packed.shape[-1]) * 8
             b1 = np.unpackbits(packed, axis=-1, count=pw)[:, :sH, :sW]
@@ -478,12 +515,10 @@ class TagDetector:
         return res
 
     def _threshold_packed_for(self, dev_sub):
-        """Dispatch (async) the threshold for a cold group."""
+        """Dispatch (async) the fused threshold front-end for a cold group."""
         H, W = dev_sub.shape[-2:]
         scale = 2 if max(H, W) >= self.pyramid_min_side else 1
-        small = _pool2(dev_sub) if scale == 2 else dev_sub
-        padded, _, _ = pad_to_tile(small)
-        return adaptive_threshold_packed(padded)
+        return threshold_front(dev_sub, scale)
 
     def _detect_batch_tracked(self, dev_all, board) -> List[Dict[int, np.ndarray]]:
         """Tracking-mode orchestration (see track.py for the device graph).
@@ -658,10 +693,13 @@ class TagDetector:
             audited frame's merge + forward re-scan — the cadence bounds
             the staleness."""
             added = any(t not in results[f] for t in coldres[f])
-            det_ids = {int(t) - first for t in coldres[f]} | {
-                int(t) - first for t in results[f]
-            }
-            for t in fails_at(f) - det_ids:
+            # ALL audited hard-failures enter the memory — including tags
+            # cold could find (a predictor blind spot): their recall is
+            # carried by this frame's merge + forward re-scan and by the
+            # cadence audits, while re-triggering on every recurrence cost
+            # a cold group + re-scan per event (measured: the same tag
+            # fired twice 8 frames apart).
+            for t in fails_at(f):
                 st["known_bad"][t] = start_gidx + f
             write_result(f)
             return added
@@ -676,6 +714,7 @@ class TagDetector:
 
         pos = 0
         prefetch = None  # (start_frame, carry, device outs) of the next scan
+        deferred: set = set()  # single-tag suspects left to the post-hoc audit
         while pos < B:
             nb = min(C, B - pos)
 
@@ -707,6 +746,12 @@ class TagDetector:
                     arrs = scan_from(pos, carry_now)
                 prefetch = None
             apply_scan(pos, arrs, pos + nb)
+            if seed_res is not None:
+                # bootstrap the known-bad memory from the seed frame: its
+                # full-cold result confirms which of the scan's frame-0
+                # hard failures are genuinely undetectable, sparing the
+                # first chunk a repair round per marginal tag
+                merge_frame(pos)
             if pos + nb < B:
                 # software pipeline: enqueue the NEXT chunk's scan on the
                 # tracked-only carry so the device runs it while the host
@@ -727,12 +772,32 @@ class TagDetector:
                 # later frame of the chunk becomes a fallback (measured:
                 # a coasting-velocity runaway turned 1 failed frame into
                 # 27 cold frames).
+                #
+                # SINGLE-TAG novel failures do NOT repair inline: one blind
+                # tag cannot poison the carry (the other ~35 keep
+                # predicting), and each inline event costs a cold group +
+                # re-scan (~1 s of link latency; measured 10 such events
+                # on the 534-frame bench, 7 of them single-tag).  They are
+                # marked for the batched post-hoc audit instead, which
+                # merges cold detections and re-scans on improvement — the
+                # same recall bound at a fraction of the cost.
                 for _repair in range(4):
-                    trig = [
-                        pos + k
-                        for k in range(nb)
-                        if pos + k not in coldres and audit_trigger(pos + k)
-                    ]
+                    trig = []
+                    for k in range(nb):
+                        f = pos + k
+                        if f in coldres or f in deferred or not audit_trigger(f):
+                            continue
+                        novel = fails_at(f) - st["known_bad"].keys()
+                        if (
+                            len(novel) <= 1
+                            and int(g_acc[f].sum()) >= 2 * MIN_TRACK_TAGS
+                        ):
+                            deferred.add(f)
+                            for t in novel:
+                                # tolerate until the audit re-judges it
+                                st["known_bad"][t] = start_gidx + f
+                            continue
+                        trig.append(f)
                     if not trig:
                         break
                     # audit the whole leading suspect group in ONE cold
@@ -743,6 +808,9 @@ class TagDetector:
                     # and tracked detections merge on top anyway.
                     grp = trig[: self.cold_chunk]
                     self.stats["trigger_frames"] += len(grp)
+                    self.stats.setdefault("trigger_log", []).append(
+                        (grp[0], sorted(fails_at(grp[0]) - st["known_bad"].keys()))
+                    )
                     # assist is skippable only while tracking still carries
                     # the frame's recall (the cold result then just re-seeds
                     # / audits); when tracking collapsed, the cold result IS
@@ -765,7 +833,9 @@ class TagDetector:
                 trig = [
                     pos + k
                     for k in range(nb)
-                    if pos + k not in coldres and audit_trigger(pos + k)
+                    if pos + k not in coldres
+                    and pos + k not in deferred
+                    and audit_trigger(pos + k)
                 ]
                 if trig:
                     self.stats["trigger_frames"] += len(trig)
@@ -792,7 +862,9 @@ class TagDetector:
         # lost, the window after the frame is re-scanned from the
         # corrected carry, so a predictor blind spot never persists past
         # one cadence interval.
-        audit = [f for f in cadence_all if f not in coldres]
+        audit = sorted(
+            set(f for f in cadence_all if f not in coldres) | deferred
+        )
         if audit:
             with stage("detect/track-audit"):
                 G = self.cold_chunk

@@ -106,6 +106,34 @@ def adaptive_threshold_packed2(
     return jnp.stack([_pack(b1), _pack(b2)], axis=1)
 
 
+@partial(jax.jit, static_argnames=("scale", "tile", "min_contrast"))
+def threshold_front(
+    images, scale: int = 1, tile: int = TILE, min_contrast: float = MIN_CONTRAST
+):
+    """ONE graph for the whole candidate front-end: optional 2x2-mean
+    pyramid level + white pad-to-tile + adaptive threshold + bit packing.
+
+    The pieces used to run as separate dispatches (a jitted pool, eager
+    jnp.pad, the threshold jit); on the remote backend each dispatch adds
+    link latency and each graph a load at warmup, so the cold groups of
+    the tracking fast path fuse them.  Returns (B, sH_pad, sW_pad/8)
+    uint8; callers slice the unpadded region after unpacking.
+    """
+    if scale == 2:
+        B, H, W = images.shape
+        x = images[:, : H // 2 * 2, : W // 2 * 2].astype(jnp.float32)
+        images = x.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    H, W = images.shape[-2], images.shape[-1]
+    wmul = tile * 8 // np.gcd(tile, 8)
+    ph = (-H) % tile
+    pw = (-W) % wmul
+    if ph or pw:
+        images = jnp.pad(
+            images, [(0, 0), (0, ph), (0, pw)], constant_values=255
+        )
+    return adaptive_threshold_packed(images, tile, min_contrast)
+
+
 def pad_to_tile(img, tile: int = TILE):
     """Pad (H, W) or (B, H, W) on the bottom/right to tile multiples with
     white (255), so padding never creates black components.  Width pads to
