@@ -557,6 +557,7 @@ class TagDetector:
 
         B, H, W = dev_all.shape
         C = min(self.chunk, B) if jax.default_backend() == "cpu" else self.chunk
+        C += C % 2  # the tracking scan processes frame PAIRS per step
         n_tags = board.n_tags
         first = board.config.first_id
         board_xy = jnp.asarray(
@@ -773,14 +774,16 @@ class TagDetector:
                 # a coasting-velocity runaway turned 1 failed frame into
                 # 27 cold frames).
                 #
-                # SINGLE-TAG novel failures do NOT repair inline: one blind
-                # tag cannot poison the carry (the other ~35 keep
-                # predicting), and each inline event costs a cold group +
-                # re-scan (~1 s of link latency; measured 10 such events
-                # on the 534-frame bench, 7 of them single-tag).  They are
+                # Novel failures on HEALTHY frames (at least half the
+                # board still accepted) do NOT repair inline: a few blind
+                # tags cannot poison the carry, and each inline event costs
+                # a cold group + re-scan (~1 s of link latency; the
+                # 534-frame bench measured 10 such events).  They are
                 # marked for the batched post-hoc audit instead, which
                 # merges cold detections and re-scans on improvement — the
-                # same recall bound at a fraction of the cost.
+                # same cadence-bounded recall at a fraction of the cost.
+                # Inline repair stays for genuine degradation (collapsed
+                # carry, heavy occlusion).
                 for _repair in range(4):
                     trig = []
                     for k in range(nb):
@@ -788,9 +791,8 @@ class TagDetector:
                         if f in coldres or f in deferred or not audit_trigger(f):
                             continue
                         novel = fails_at(f) - st["known_bad"].keys()
-                        if (
-                            len(novel) <= 1
-                            and int(g_acc[f].sum()) >= 2 * MIN_TRACK_TAGS
+                        if int(g_acc[f].sum()) >= max(
+                            2 * MIN_TRACK_TAGS, n_tags // 2
                         ):
                             deferred.add(f)
                             for t in novel:
@@ -878,12 +880,18 @@ class TagDetector:
                     groups.append(grp)
                     subs.append(sub)
                     packeds.append(self._threshold_packed_for(sub))
-                # phase 1: bitmaps -> quadproc -> enqueue decode
+                # phase 1: bitmaps -> quadproc -> enqueue decode, with the
+                # per-group downloads prefetched on a thread so the link
+                # transfer of group i+1 overlaps the host CCL of group i
+                from concurrent.futures import ThreadPoolExecutor
+
+                pool = ThreadPoolExecutor(max_workers=2)
+                fetches = [pool.submit(np.asarray, p) for p in packeds]
                 pend = []
-                for grp, sub, packed in zip(groups, subs, packeds):
+                for grp, sub, fut in zip(groups, subs, fetches):
                     scale = 2 if max(H, W) >= self.pyramid_min_side else 1
                     sH, sW = H // scale, W // scale
-                    pk = np.asarray(packed)
+                    pk = fut.result()
                     b1 = np.unpackbits(pk, axis=-1, count=pk.shape[-1] * 8)[
                         :, :sH, :sW
                     ]
@@ -892,10 +900,19 @@ class TagDetector:
                     pend.append((grp, out, qf, total))
                     self.stats["cold_groups"] += 1
                     self.stats["cold_frames"] += len(grp)
-                # phase 2: fetch + merge + forward re-scan on improvement
+                # phase 2: fetch (prefetched) + merge + forward re-scan
+                outs_np = [
+                    pool.submit(
+                        lambda o: {k: np.asarray(v) for k, v in o.items()
+                                   if k != "sharp"},
+                        out,
+                    )
+                    for _, out, _, _ in pend
+                ]
+                pool.shutdown(wait=False)
                 rescan_until = -1
-                for grp, out, qf, total in pend:
-                    res = self._collect_results(out, qf, total, len(grp))
+                for (grp, out, qf, total), fut in zip(pend, outs_np):
+                    res = self._collect_results(fut.result(), qf, total, len(grp))
                     for k, f in enumerate(grp):
                         coldres[f] = res[k]
                 for f in audit:
