@@ -77,7 +77,8 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     from threading import Thread
 
     warm_thread = Thread(
-        target=lambda: detector.prewarm(size, size, board), daemon=True
+        target=lambda: detector.prewarm(size, size, board, n_frames=n_frames),
+        daemon=True,
     )
     warm_thread.start()
     # continuous handheld-video trajectory — the regime of the reference's

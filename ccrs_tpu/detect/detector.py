@@ -178,44 +178,64 @@ class TagDetector:
         correctness)."""
         self._tstate = None
 
-    def prewarm(self, height: int, width: int, board=None) -> None:
+    def prewarm(
+        self, height: int, width: int, board=None, n_frames: int | None = None
+    ) -> None:
         """Execute every device graph of the detect path on dummy inputs.
 
         On the remote backend each graph pays a load (cached-compile) or
         compile on first execution; calling this on a background thread
         while the host renders/decodes images overlaps those loads with
         useful work (the thread blocks on RPCs, releasing the GIL).
-        Safe to skip — first detection simply pays the loads itself.
+        ``n_frames`` sizes the wave-tracking row bucket for the upcoming
+        batch so the real call reuses the warmed graph.  Safe to skip —
+        first detection simply pays the loads itself.
         """
         import jax.numpy as jnp
 
-        C = self.chunk
         scale = 2 if max(height, width) >= self.pyramid_min_side else 1
-        imgs = jnp.zeros((C, height, width), jnp.uint8)
-        threshold_front(imgs, scale).block_until_ready()
-        sub = jnp.zeros((self.cold_chunk, height, width), jnp.uint8)
-        threshold_front(sub, scale).block_until_ready()
         bucket = self._bucket
         qq = jnp.zeros((bucket, 4, 2), jnp.float32)
         qf = jnp.zeros(bucket, jnp.int32)
         qv = jnp.zeros(bucket, bool)
-        for b in (imgs, sub):
+        tracked = board is not None and self.track and self.refine
+        sizes = [self.chunk, self.cold_chunk]
+        for C in sizes:
+            b = jnp.zeros((C, height, width), jnp.uint8)
+            threshold_front(b, scale).block_until_ready()
             out = refine_decode_fused(
                 self.family, b, qq, qf, qv, do_refine=self.refine
             )
             out["valid"].block_until_ready()
-        if board is not None and self.track and self.refine:
-            from .track import track_chunk
+        if tracked:
+            from .track import init_wave_carry, wave_advance
 
+            K = max(self.cold_every, 4)
+            if n_frames is not None and n_frames >= 4:
+                # mirror the triple-anchor layout of _detect_batch_tracked
+                n_starts = len(range(0, n_frames - 2, K))
+                if (n_frames - 3) % K != 0:
+                    n_starts += 1
+                R = -(-2 * max(n_starts - 1, 1) // 8) * 8
+            else:
+                R = 8
+            self._wave_rows = max(R, getattr(self, "_wave_rows", 0))
             n = board.n_tags
             bxy = jnp.zeros((n, 4, 2), jnp.float32)
-            z = jnp.zeros(n, bool)
-            c = jnp.zeros((n, 4, 2), jnp.float32)
-            outs = track_chunk(
-                self.family, imgs, bxy, jnp.asarray(np.int32(0)),
-                c, z, c, z, c, z,
-            )
-            outs[1].block_until_ready()
+            # main sweep rows + the small repair-re-sweep row bucket
+            for Rw in {self._wave_rows, 8}:
+                z = np.zeros((Rw, n), bool)
+                c = np.zeros((Rw, n, 4, 2), np.float32)
+                carry = tuple(
+                    jnp.asarray(a)
+                    for a in init_wave_carry(c, z, c.copy(), z.copy())
+                )
+                imgs = jnp.zeros((Rw, height, width), jnp.uint8)
+                _, outs = wave_advance(
+                    self.family, imgs, bxy, jnp.asarray(np.int32(0)),
+                    carry, jnp.zeros(Rw, bool),
+                )
+                outs[1].block_until_ready()
 
     # ----------------------------------------------------- shared helpers
     def _extract_quads(self, b1, board, scale):
@@ -365,11 +385,26 @@ class TagDetector:
                 dev_all = jnp.asarray(np.stack([_to_gray_f32(im) for im in raw]))
         B, H, W = dev_all.shape
 
-        # Video fast path: board-informed frame-to-frame tracking (see
-        # track.py).  Falls back to the cold pipeline below per frame via
-        # its trigger policy; whole-batch cold is kept for board-less use.
+        # Video fast path: board-informed wave tracking (see track.py).
+        # Suspect frames fall back to the cold pipeline via the audit
+        # policy; whole-batch cold is kept for board-less use.
         if board is not None and self.track and self.refine and B > 0:
             return self._detect_batch_tracked(dev_all, board)
+        return self._detect_batch_cold(dev_all, board)
+
+    def _detect_batch_cold(
+        self, dev_all, board, chunk: int | None = None
+    ) -> List[Dict[int, np.ndarray]]:
+        """The full (cold) detection pipeline over a device-resident batch:
+        threshold -> bitmap download -> native CCL quad extraction ->
+        fused refine+decode -> board-assist recovery, pipelined in three
+        phases across fixed-size chunks (see the class docstring).
+
+        ``chunk`` overrides the pipeline chunk size (the tracking mode
+        audits in small ``cold_chunk`` groups so a handful of suspect
+        frames never pays a 64-frame graph).
+        """
+        B, H, W = dev_all.shape
 
         # Enqueue every chunk's threshold up front (dispatch is async), so
         # the packed-bitmap downloads of chunk i overlap the device work of
@@ -383,10 +418,11 @@ class TagDetector:
         # natural size.
         import jax
 
+        base = chunk if chunk is not None else self.chunk
         if jax.default_backend() == "cpu":
-            C = min(self.chunk, B)
+            C = min(base, B)
         else:
-            C = self.chunk
+            C = base
         n_chunks = (B + C - 1) // C
 
         # Large-image fast path: the pixel-proportional candidate stages
@@ -473,178 +509,227 @@ class TagDetector:
         return [r for chunk in all_chunk_results for r in chunk]
 
     # --------------------------------------------------- tracking fast path
-    def _detect_frames_cold(
-        self, dev_sub, board, do_assist: bool = True, packed_pre=None
-    ) -> List[Dict[int, np.ndarray]]:
-        """Synchronous cold pipeline (threshold -> CCL -> decode -> assist)
-        on a small device batch — the tracking mode's fallback unit.
-
-        ``do_assist=False`` skips the board-assist decode: when healthy
-        tracked detections are merged over this result the assist pass is
-        redundant (tracking already ran an assist-equivalent
-        predict+decode on every tag).  ``packed_pre`` accepts a
-        pre-dispatched threshold output so cadence audits can overlap the
-        device threshold with the chunk's tracking scan."""
-        C, H, W = dev_sub.shape
-        scale = 2 if max(H, W) >= self.pyramid_min_side else 1
-        sH, sW = H // scale, W // scale
-        with stage("detect/threshold"):
-            if packed_pre is None:
-                packed_pre = threshold_front(dev_sub, scale)
-            packed = np.asarray(packed_pre)
-            pw = int(packed.shape[-1]) * 8
-            b1 = np.unpackbits(packed, axis=-1, count=pw)[:, :sH, :sW]
-        with stage("detect/quadproc"):
-            quads, counts = self._extract_quads(b1, board, scale)
-        with stage("detect/dispatch"):
-            out, qf, total = self._dispatch_decode(dev_sub, quads, counts)
-        with stage("detect/decode"):
-            res = self._collect_results(out, qf, total, C)
-        if board is not None and do_assist:
-            from .assist import assist_candidates, assist_merge
-
-            with stage("detect/assist"):
-                cand, aq, af, av = assist_candidates(board, res, W, H)
-                if cand is not None:
-                    aout = refine_decode_fused(
-                        self.family, dev_sub, jnp.asarray(aq),
-                        jnp.asarray(af), jnp.asarray(av),
-                        do_refine=self.refine, sharp=out["sharp"],
-                    )
-                    assist_merge(self.family, cand, aout, res)
-        return res
-
-    def _threshold_packed_for(self, dev_sub):
-        """Dispatch (async) the fused threshold front-end for a cold group."""
-        H, W = dev_sub.shape[-2:]
-        scale = 2 if max(H, W) >= self.pyramid_min_side else 1
-        return threshold_front(dev_sub, scale)
-
     def _detect_batch_tracked(self, dev_all, board) -> List[Dict[int, np.ndarray]]:
-        """Tracking-mode orchestration (see track.py for the device graph).
+        """Wave-tracking orchestration (see track.wave_advance for the
+        device kernel).
 
-        Two audit tiers keep recall anchored to the cold pipeline:
+        Architecture: cold-detect anchor PAIRS every ``cold_every`` frames
+        (one small batched cold pass — pairs give each anchor an exact
+        velocity), then sweep every inter-anchor segment simultaneously:
+        wave w advances all segments' forward sweeps (from the left pair)
+        and backward sweeps (from the right pair) by one frame in ONE
+        fused device graph.  A 534-frame batch takes ~7 waves of ~70
+        rows x n_tags quads instead of 534 sequential 36-quad steps — the
+        TPU sees large batches, and the carry chains device-side with no
+        host sync until the final fetch.
 
-        * INLINE trigger repair — a frame is suspect when a tag with a
-          valid in-bounds prediction hard-failed (not benign, not
-          known-bad) or too few tags were accepted.  The leading suspect
-          group is cold-verified immediately; when cold recovers tags
-          tracking lost, the carry is re-seeded there and the rest of the
-          chunk RE-SCANNED (one bad frame must not poison the chunk).
-        * POST-HOC cadence audit — every ``cold_every``-th frame is
-          cold-verified in one batched phased sweep after the main loop;
-          improvements re-scan the following window.  This bounds how long
-          a predictor blind spot (a tag cold finds but prediction+decode
-          cannot re-acquire) can persist: at most one cadence interval.
+        Recall policy (audits keep the fast path anchored to the cold
+        pipeline):
 
-        known_bad = tags whose hard failure a cold audit CONFIRMED
-        (genuinely undetectable then: occlusion, rim clipping); their
-        later failures don't re-trigger.  Entries are never removed —
-        recovery happens through per-frame re-attempts or audits.
+        * anchors ARE cold frames every ``cold_every`` — the cadence
+          audit of the old sequential design is structural here, and the
+          backward sweep recovers tags entering the view mid-segment
+          from the right anchor (staleness bound K/2, not K);
+        * a frame is SUSPECT when a tag with a valid in-bounds prediction
+          hard-failed (not benign — see track.py BENIGN_MAX_DISP — and
+          not known-bad) or too few tags were accepted; all suspects are
+          cold-verified in one batched post-hoc sweep and cold wins;
+        * known_bad = tags whose hard failure a cold audit confirmed
+          (occlusion, rim clipping); their later failures don't
+          re-trigger.  A novel failure stamps its tag immediately when
+          the frame is queued for audit, so a persistent blind spot
+          costs ONE audit, not one per frame; the tag still re-attempts
+          every frame and recovers at the next anchor at the latest.
 
-        Cold results take precedence; tracked tags the cold pass missed
-        are merged in.  The carry persists across detect_batch calls so
-        streaming loaders keep tracking; reset_tracking() between
-        unrelated sequences.
+        The carry persists across detect_batch calls (the last two
+        frames' results seed the next call's first segment) so streaming
+        loaders keep tracking; reset_tracking() between unrelated
+        sequences.
         """
-        import jax
-
         from .track import (
             MIN_TRACK_TAGS,
             detections_to_arrays,
-            track_chunk,
+            init_wave_carry,
+            wave_advance,
         )
 
         B, H, W = dev_all.shape
-        C = min(self.chunk, B) if jax.default_backend() == "cpu" else self.chunk
-        C += C % 2  # the tracking scan processes frame PAIRS per step
+        K = max(self.cold_every, 4)
         n_tags = board.n_tags
         first = board.config.first_id
-        board_xy = jnp.asarray(
-            board.p3d.reshape(n_tags, 4, 3)[:, :, :2].astype(np.float32)
-        )
-        first_dev = jnp.asarray(np.int32(first))
 
         st = self._tstate
-        if (
-            st is None
-            or st["wh"] != (W, H)
-            or st["board"] is not board
-        ):
+        if st is None or st["wh"] != (W, H) or st["board"] is not board:
             st = self._tstate = {
                 "wh": (W, H), "board": board,
-                "c1": None, "v1": None, "c2": None, "v2": None,
-                "c3": None, "v3": None,
-                # tag -> global frame index of the last cold CONFIRMATION
-                # that the tag is undetectable; entries expire after
-                # cold_every//2 frames so a tag that becomes findable
-                # again is re-audited promptly (bounded-staleness recall)
+                # (results[-2], results[-1]) of the previous call — the
+                # streaming carry that seeds the next call's first segment
+                "prev": None,
+                # tag -> global frame of the last cold CONFIRMATION that
+                # the tag is undetectable (see the class docstring)
                 "known_bad": {}, "frame_idx": 0,
             }
-
         self.stats = {"frames": B, "cold_frames": 0, "cold_groups": 0,
-                      "trigger_frames": 0}
+                      "trigger_frames": 0, "waves": 0}
+        g0 = st["frame_idx"]
 
-        def run_cold(frames: List[int], do_assist=True, packed_pre=None):
-            """Cold-detect absolute frame indices in fixed-size groups."""
-            outres: Dict[int, Dict[int, np.ndarray]] = {}
-            G = self.cold_chunk
-            for g in range(0, len(frames), G):
-                grp = frames[g : g + G]
-                idx = np.asarray(grp + [grp[-1]] * (G - len(grp)), np.int32)
-                dev_sub = jnp.take(dev_all, jnp.asarray(idx), axis=0)
-                res = self._detect_frames_cold(
-                    dev_sub, board, do_assist=do_assist,
-                    packed_pre=packed_pre if g == 0 else None,
+        def cold_sweep(frames: List[int], tag: str, chunk: int | None = None):
+            """Cold-detect absolute frame indices (batched, pipelined).
+
+            The frame list is padded (last frame repeated) to a multiple
+            of the chunk so the device gather and the cold pipeline only
+            ever see a small reusable set of shapes — every novel shape
+            costs a remote compile on this backend.  Large sweeps (the
+            anchor pass) use the full pipeline chunk: small groups are
+            link-latency-bound at ~3 round trips each."""
+            G = chunk or self.cold_chunk
+            padded = frames + [frames[-1]] * (-len(frames) % G)
+            with stage(tag):
+                sub = jnp.take(
+                    dev_all, jnp.asarray(np.asarray(padded, np.int32)), axis=0
                 )
-                self.stats["cold_groups"] += 1
-                self.stats["cold_frames"] += len(grp)
-                for k, f in enumerate(grp):
-                    outres[f] = res[k]
-            return outres
+                res = self._detect_batch_cold(sub, board, chunk=G)
+            self.stats["cold_frames"] += len(frames)
+            self.stats["cold_groups"] += len(padded) // G
+            return dict(zip(frames, res))
 
-        results: List[Dict[int, np.ndarray]] = [dict() for _ in range(B)]
-        # whole-batch tracked outputs (bool masks + corners; ~0.6 MB at
-        # 534 frames) — global arrays keep the audit logic chunk-agnostic
+        if B < 4:
+            # too short to track: cold-only, but still feed the carry
+            coldres = cold_sweep(list(range(B)), "detect/track-cold")
+            results = [coldres[f] for f in range(B)]
+            if B >= 3:
+                st["prev"] = (results[-3], results[-2], results[-1])
+            else:
+                st["prev"] = None  # too short to re-seed a triple
+            st["frame_idx"] += B
+            return results
+
+        # ---- anchor triple layout (global cadence K) -------------------
+        # Triples (not pairs): the quadratic prediction needs THREE seed
+        # frames to engage at the first wave; constant-velocity seeding
+        # overruns the 4.5 px refine capture at measured handheld
+        # accelerations (3-4 px/frame^2 at the bench regime and far more
+        # on fast sweeps).
+        virtual = st["prev"] if (
+            st["prev"] is not None
+            and len(st["prev"][-1]) >= MIN_TRACK_TAGS
+        ) else None
+        gp = ((g0 + K - 1) // K) * K  # first grid anchor start >= g0
+        p = gp - g0
+        if virtual is None and p != 0:
+            p = 0  # no carry: the batch head needs an anchor
+        starts: List[int] = []
+        while p <= B - 3:
+            starts.append(p)
+            p += K
+        if not starts or starts[-1] != B - 3:
+            # force an anchor at the tail so every frame sits in a segment
+            if starts and B - 3 - starts[-1] < 3:
+                starts.pop()
+            starts.append(B - 3)
+
+        anchor_frames = sorted(
+            {f for q in starts for f in (q, q + 1, q + 2)}
+        )
+        coldres = cold_sweep(
+            anchor_frames, "detect/track-cold",
+            chunk=self.chunk if len(anchor_frames) >= self.chunk else None,
+        )
+        resmap: Dict[int, Dict[int, np.ndarray]] = dict(coldres)
+        if virtual is not None:
+            resmap[-3], resmap[-2], resmap[-1] = virtual
+
+        all_starts = ([-3] if virtual is not None else []) + starts
+        segs = list(zip(all_starts[:-1], all_starts[1:]))
+        n_list = [pR - pL - 3 for pL, pR in segs]
+        Wmax = max(((n + 1) // 2 for n in n_list), default=0)
+
         g_cor = np.zeros((B, n_tags, 4, 2), np.float32)
         g_acc = np.zeros((B, n_tags), bool)
         g_att = np.zeros((B, n_tags), bool)
         g_ben = np.zeros((B, n_tags), bool)
-        coldres: Dict[int, Dict[int, np.ndarray]] = {}
 
-        def scan_dispatch(f0: int, carry6):
-            """Enqueue the tracking scan over frames [f0, f0+C) (clamped,
-            repeat-last padded) with the given (c3,v3,c2,v2,c1,v1) carry;
-            returns device arrays (fetch with scan_fetch)."""
-            idx = np.minimum(np.arange(f0, f0 + C), B - 1).astype(np.int32)
-            partx = jnp.take(dev_all, jnp.asarray(idx), axis=0)
-            return track_chunk(
-                self.family, partx, board_xy, first_dev,
-                *(jnp.asarray(a) for a in carry6),
+        if Wmax > 0:
+            S = len(segs)
+            # sticky row bucket: shape flaps would recompile wave_advance
+            R = max(-(-2 * S // 8) * 8, getattr(self, "_wave_rows", 0))
+            self._wave_rows = R
+            frame_of = np.zeros((Wmax, R), np.int32)
+            act = np.zeros((Wmax, R), bool)
+            for si, ((pL, pR), n) in enumerate(zip(segs, n_list)):
+                fc = (n + 1) // 2  # forward sweep takes the extra frame
+                for w in range(fc):
+                    frame_of[w, 2 * si] = pL + 3 + w
+                    act[w, 2 * si] = True
+                for w in range(n - fc):
+                    frame_of[w, 2 * si + 1] = pR - 1 - w
+                    act[w, 2 * si + 1] = True
+
+            c1 = np.zeros((R, n_tags, 4, 2), np.float32)
+            v1 = np.zeros((R, n_tags), bool)
+            c2, v2 = c1.copy(), v1.copy()
+            c3, v3 = c1.copy(), v1.copy()
+            for si, (pL, pR) in enumerate(segs):
+                fr, bk = 2 * si, 2 * si + 1
+                c1[fr], v1[fr] = detections_to_arrays(resmap[pL + 2], board)
+                c2[fr], v2[fr] = detections_to_arrays(resmap[pL + 1], board)
+                c3[fr], v3[fr] = detections_to_arrays(resmap[pL], board)
+                c1[bk], v1[bk] = detections_to_arrays(resmap[pR], board)
+                c2[bk], v2[bk] = detections_to_arrays(resmap[pR + 1], board)
+                c3[bk], v3[bk] = detections_to_arrays(resmap[pR + 2], board)
+
+            board_xy = jnp.asarray(
+                board.p3d.reshape(n_tags, 4, 3)[:, :, :2].astype(np.float32)
             )
+            first_dev = jnp.asarray(np.int32(first))
+            carry = tuple(
+                jnp.asarray(a)
+                for a in init_wave_carry(c1, v1, c2, v2, c3, v3)
+            )
+            outs = []
+            with stage("detect/track"):
+                for w in range(Wmax):
+                    imgs_w = jnp.take(
+                        dev_all, jnp.asarray(frame_of[w]), axis=0
+                    )
+                    carry, out = wave_advance(
+                        self.family, imgs_w, board_xy, first_dev,
+                        carry, jnp.asarray(act[w]),
+                    )
+                    outs.append(out)
+                self.stats["waves"] = Wmax
+                # stack per-wave outputs ON DEVICE and fetch once: four
+                # link round trips total instead of four per wave
+                fetched = tuple(
+                    np.asarray(jnp.stack([o[k] for o in outs]))
+                    for k in range(4)
+                )
+            oc, ac, at, bn = fetched
+            for w in range(Wmax):
+                rows = np.flatnonzero(act[w])
+                f = frame_of[w, rows]
+                g_cor[f] = oc[w, rows]
+                g_acc[f] = ac[w, rows]
+                g_att[f] = at[w, rows]
+                g_ben[f] = bn[w, rows]
 
-        def scan_fetch(outs) -> tuple:
-            return tuple(np.asarray(o) for o in outs)
+        # row bookkeeping for the repair re-sweeps below
+        row_frames: Dict[int, List[int]] = {}
+        row_of = np.full(B, -1, np.int32)
+        pos_of = np.full(B, -1, np.int32)
+        if Wmax > 0:
+            for r in range(R):
+                fl = [int(frame_of[w, r]) for w in range(Wmax) if act[w, r]]
+                if fl:
+                    row_frames[r] = fl
+                    for w, f in enumerate(fl):
+                        row_of[f] = r
+                        pos_of[f] = w
 
-        def scan_from(f0: int, carry6) -> tuple:
-            return scan_fetch(scan_dispatch(f0, carry6))
-
-        def carry_at(f: int) -> tuple:
-            """(c3,v3,c2,v2,c1,v1) carry from merged results ending at f."""
-            c1, v1 = detections_to_arrays(results[f], board)
-            if f - 1 >= 0 and results[f - 1]:
-                c2, v2 = detections_to_arrays(results[f - 1], board)
-            else:
-                c2, v2 = c1.copy(), np.zeros(n_tags, bool)
-            if f - 2 >= 0 and results[f - 2]:
-                c3, v3 = detections_to_arrays(results[f - 2], board)
-            else:
-                c3, v3 = c1.copy(), np.zeros(n_tags, bool)
-            return (c3, v3, c2, v2, c1, v1)
+        # ---- results + post-hoc audit/repair loop ---------------------
+        results: List[Dict[int, np.ndarray]] = [dict() for _ in range(B)]
 
         def write_result(f: int) -> None:
-            """Rebuild results[f] from the tracked arrays, folding in any
-            cold detections (cold wins on conflicts)."""
             tracked = {
                 int(t) + first: g_cor[f, t].copy()
                 for t in np.flatnonzero(g_acc[f])
@@ -652,22 +737,13 @@ class TagDetector:
             if f in coldres:
                 merged = dict(coldres[f])
                 for t, cc in tracked.items():
-                    if t not in merged:
-                        merged[t] = cc
+                    merged.setdefault(t, cc)
                 results[f] = merged
             else:
                 results[f] = tracked
 
-        def apply_scan(f0: int, arrs, upto: int) -> None:
-            """Write scan outputs into the global arrays for frames
-            [f0, upto) and rebuild their results."""
-            n = min(C, upto - f0, B - f0)
-            g_cor[f0 : f0 + n] = arrs[0][:n]
-            g_acc[f0 : f0 + n] = arrs[1][:n]
-            g_att[f0 : f0 + n] = arrs[2][:n]
-            g_ben[f0 : f0 + n] = arrs[3][:n]
-            for f in range(f0, f0 + n):
-                write_result(f)
+        for f in range(B):
+            write_result(f)
 
         def fails_at(f: int) -> set:
             return set(
@@ -675,258 +751,195 @@ class TagDetector:
                 for t in np.flatnonzero(g_att[f] & ~g_acc[f] & ~g_ben[f])
             )
 
-        def audit_trigger(f: int) -> bool:
-            return (
-                not fails_at(f) <= st["known_bad"].keys()
-                or int(g_acc[f].sum()) < MIN_TRACK_TAGS
+        def res_at(f: int) -> Dict[int, np.ndarray]:
+            return results[f] if f >= 0 else resmap.get(f, {})
+
+        def run_resweeps(jobs) -> None:
+            """Re-run sweep rows from corrected seeds.
+
+            jobs: list of (frames_in_sweep_order, seed frame indices
+            (f1 nearest, f2, f3)).  Row/wave shapes are bucketed (sticky)
+            so repair runs reuse a small compiled-graph set."""
+            R2 = max(
+                -(-len(jobs) // 8) * 8, getattr(self, "_wave_rows_small", 8)
             )
-
-        def merge_frame(f: int) -> bool:
-            """Fold a cold result into frame f; extend the known-bad
-            memory with COLD-CONFIRMED failures; return True when cold
-            contributed tags tracking lacked (carry past f improvable).
-
-            Entries are never removed when a tag reappears: removal
-            re-armed the audit on every detect->fail flip of marginal rim
-            tags (both pipelines flicker on them, weakly correlated).  A
-            known-bad tag that becomes findable again is recovered by the
-            per-frame predict+decode or, at the latest, by the next
-            audited frame's merge + forward re-scan — the cadence bounds
-            the staleness."""
-            added = any(t not in results[f] for t in coldres[f])
-            # ALL audited hard-failures enter the memory — including tags
-            # cold could find (a predictor blind spot): their recall is
-            # carried by this frame's merge + forward re-scan and by the
-            # cadence audits, while re-triggering on every recurrence cost
-            # a cold group + re-scan per event (measured: the same tag
-            # fired twice 8 frames apart).
-            for t in fails_at(f):
-                st["known_bad"][t] = start_gidx + f
-            write_result(f)
-            return added
-
-        start_gidx = st["frame_idx"]
-        # absolute indices of the cadence audit frames (known a priori)
-        cadence_all = (
-            [f for f in range(B) if (start_gidx + f) % self.cold_every == 0]
-            if self.cold_every > 0
-            else []
-        )
-
-        pos = 0
-        prefetch = None  # (start_frame, carry, device outs) of the next scan
-        deferred: set = set()  # single-tag suspects left to the post-hoc audit
-        while pos < B:
-            nb = min(C, B - pos)
-
-            seed_res = None
-            if st["c1"] is None:
-                # first frame ever: cold-detect it to seed the carry
-                with stage("detect/track-cold"):
-                    seed_res = run_cold([pos])[pos]
-                coldres[pos] = seed_res
-                c1, v1 = detections_to_arrays(seed_res, board)
-                st["c1"], st["v1"] = c1, v1
-                st["c2"], st["v2"] = c1.copy(), np.zeros(n_tags, bool)
-                st["c3"], st["v3"] = c1.copy(), np.zeros(n_tags, bool)
-
+            self._wave_rows_small = R2
+            W2 = max(len(fl) for fl, _ in jobs)
+            f_of = np.zeros((W2, R2), np.int32)
+            a2 = np.zeros((W2, R2), bool)
+            c1 = np.zeros((R2, n_tags, 4, 2), np.float32)
+            v1 = np.zeros((R2, n_tags), bool)
+            c2, v2 = c1.copy(), v1.copy()
+            c3, v3 = c1.copy(), v1.copy()
+            for j, (fl, (f1, f2, f3)) in enumerate(jobs):
+                for w, f in enumerate(fl):
+                    f_of[w, j] = f
+                    a2[w, j] = True
+                c1[j], v1[j] = detections_to_arrays(res_at(f1), board)
+                c2[j], v2[j] = detections_to_arrays(res_at(f2), board)
+                c3[j], v3[j] = detections_to_arrays(res_at(f3), board)
+            carry = tuple(
+                jnp.asarray(a)
+                for a in init_wave_carry(c1, v1, c2, v2, c3, v3)
+            )
+            outs = []
             with stage("detect/track"):
-                carry_now = (
-                    st["c3"], st["v3"], st["c2"], st["v2"], st["c1"], st["v1"],
+                for w in range(W2):
+                    imgs_w = jnp.take(dev_all, jnp.asarray(f_of[w]), axis=0)
+                    carry, out = wave_advance(
+                        self.family, imgs_w, board_xy, first_dev,
+                        carry, jnp.asarray(a2[w]),
+                    )
+                    outs.append(out)
+                fetched = tuple(
+                    np.asarray(jnp.stack([o[k] for o in outs]))
+                    for k in range(4)
                 )
+            oc, ac, at, bn = fetched
+            for w in range(W2):
+                rows = np.flatnonzero(a2[w])
+                f = f_of[w, rows]
+                g_cor[f] = oc[w, rows]
+                g_acc[f] = ac[w, rows]
+                g_att[f] = at[w, rows]
+                g_ben[f] = bn[w, rows]
+                for ff in f:
+                    write_result(int(ff))
+
+        # Audit/repair loop: EVERY frame whose non-benign hard failures
+        # are not all cold-CONFIRMED absences gets cold-verified (one
+        # batched sweep per round), as does every frame with too few
+        # accepted tags.  known_bad collects only failures the audit
+        # confirmed (cold missed the tag too: occlusion, rim clipping).
+        # When an audit RECOVERS tags tracking lost, the frames
+        # downstream in the same sweep rode the same degraded carry —
+        # they are RE-SWEPT from the corrected frame (the wave analogue
+        # of the sequential design's re-seed-and-rescan repair), so one
+        # bad stretch does not turn the rest of its half-segment into
+        # per-frame audits.  Rounds strictly grow the audited set, so
+        # the loop terminates; on steady-state video it runs once over a
+        # handful of frames.  Final guarantee: every tracking
+        # hard-failure is benign (cold-equivalent by construction),
+        # cold-audited on that very frame, or cold-confirmed absent.
+        rounds = 0
+        while True:
+            heavy: List[int] = []
+            for f in range(B):
+                if f in coldres:
+                    continue
+                novel = fails_at(f) - st["known_bad"].keys()
+                acc_n = int(g_acc[f].sum())
+                # 1-2 flickering tags on an otherwise healthy frame are
+                # LIGHT suspects — audited once in a single batched sweep
+                # after the repair rounds (auditing them per-round cost a
+                # ~0.5 s link-bound sweep each; their recall does not
+                # feed any carry, so nothing downstream depends on them)
                 if (
-                    prefetch is not None
-                    and prefetch[0] == pos
-                    and all(
-                        np.array_equal(a, b)
-                        for a, b in zip(prefetch[1], carry_now)
-                    )
+                    len(novel) >= 3
+                    or acc_n < max(MIN_TRACK_TAGS, n_tags // 2)
                 ):
-                    arrs = scan_fetch(prefetch[2])
-                else:
-                    arrs = scan_from(pos, carry_now)
-                prefetch = None
-            apply_scan(pos, arrs, pos + nb)
-            if seed_res is not None:
-                # bootstrap the known-bad memory from the seed frame: its
-                # full-cold result confirms which of the scan's frame-0
-                # hard failures are genuinely undetectable, sparing the
-                # first chunk a repair round per marginal tag
-                merge_frame(pos)
-            if pos + nb < B:
-                # software pipeline: enqueue the NEXT chunk's scan on the
-                # tracked-only carry so the device runs it while the host
-                # audits this chunk; if the audits end up correcting the
-                # carry (rare), the prefetch is dropped at the next
-                # iteration's equality check and re-dispatched
-                with stage("detect/track"):
-                    pre_carry = carry_at(pos + nb - 1)
-                    prefetch = (
-                        pos + nb, pre_carry, scan_dispatch(pos + nb, pre_carry)
-                    )
-
-            with stage("detect/track-cold"):
-                # Audit-repair loop: cold-verify the FIRST suspect frame;
-                # when cold recovers tags tracking lost, re-seed the carry
-                # there and RE-SCAN the rest of the chunk — without this a
-                # single bad frame poisons the in-scan carry and every
-                # later frame of the chunk becomes a fallback (measured:
-                # a coasting-velocity runaway turned 1 failed frame into
-                # 27 cold frames).
-                #
-                # Novel failures on HEALTHY frames (at least half the
-                # board still accepted) do NOT repair inline: a few blind
-                # tags cannot poison the carry, and each inline event costs
-                # a cold group + re-scan (~1 s of link latency; the
-                # 534-frame bench measured 10 such events).  They are
-                # marked for the batched post-hoc audit instead, which
-                # merges cold detections and re-scans on improvement — the
-                # same cadence-bounded recall at a fraction of the cost.
-                # Inline repair stays for genuine degradation (collapsed
-                # carry, heavy occlusion).
-                for _repair in range(4):
-                    trig = []
-                    for k in range(nb):
-                        f = pos + k
-                        if f in coldres or f in deferred or not audit_trigger(f):
-                            continue
-                        novel = fails_at(f) - st["known_bad"].keys()
-                        if int(g_acc[f].sum()) >= max(
-                            2 * MIN_TRACK_TAGS, n_tags // 2
+                    heavy.append(f)
+            if not heavy:
+                break
+            rounds += 1
+            # Audit only the LEADING suspect of each sweep row (plus any
+            # row-less frame): downstream suspects usually ride the same
+            # degraded carry, and the re-sweep from the repaired frame
+            # resolves them wholesale.  When the lead itself shows MASS
+            # failure (an oblique/rim stretch where decode struggles),
+            # the row's remaining frames go straight to cold in this
+            # round — repair-and-resweep would just re-fail.
+            if rounds > 12:
+                lead = heavy  # safety valve: audit everything left
+                no_resweep = set(range(-1, 2 * len(segs)))
+            else:
+                seen_rows: Dict[int, bool] = {}
+                lead = []
+                no_resweep = set()
+                for f in heavy:
+                    r = int(row_of[f])
+                    if r < 0:
+                        lead.append(f)
+                    elif r not in seen_rows:
+                        seen_rows[r] = True
+                        lead.append(f)
+                        novel_n = len(fails_at(f) - st["known_bad"].keys())
+                        if (
+                            novel_n >= n_tags // 4
+                            or int(g_acc[f].sum()) < n_tags // 2
                         ):
-                            deferred.add(f)
-                            for t in novel:
-                                # tolerate until the audit re-judges it
-                                st["known_bad"][t] = start_gidx + f
-                            continue
-                        trig.append(f)
-                    if not trig:
-                        break
-                    # audit the whole leading suspect group in ONE cold
-                    # batch (a carry cascade makes consecutive frames
-                    # suspect; one frame per iteration paid the ~2 link
-                    # round trips per frame).  Assist is skipped: the cold
-                    # result only re-seeds the carry / audits localization,
-                    # and tracked detections merge on top anyway.
-                    grp = trig[: self.cold_chunk]
-                    self.stats["trigger_frames"] += len(grp)
-                    self.stats.setdefault("trigger_log", []).append(
-                        (grp[0], sorted(fails_at(grp[0]) - st["known_bad"].keys()))
-                    )
-                    # assist is skippable only while tracking still carries
-                    # the frame's recall (the cold result then just re-seeds
-                    # / audits); when tracking collapsed, the cold result IS
-                    # the frame's content and needs full quality
-                    ok_skip = all(
-                        int(g_acc[f].sum()) >= 2 * MIN_TRACK_TAGS for f in grp
-                    )
-                    coldres.update(run_cold(grp, do_assist=not ok_skip))
-                    improved_at = None
-                    for f in grp:
-                        if merge_frame(f) and improved_at is None:
-                            improved_at = f
-                    if improved_at is not None and improved_at < pos + nb - 1:
-                        with stage("detect/track"):
-                            arrs2 = scan_from(
-                                improved_at + 1, carry_at(improved_at)
+                            no_resweep.add(r)
+                            lead.extend(
+                                ff
+                                for ff in row_frames[r][pos_of[f] + 1 :]
+                                if ff not in coldres
                             )
-                        apply_scan(improved_at + 1, arrs2, pos + nb)
-                # safety sweep: anything still suspect goes cold outright
-                trig = [
-                    pos + k
-                    for k in range(nb)
-                    if pos + k not in coldres
-                    and pos + k not in deferred
-                    and audit_trigger(pos + k)
-                ]
-                if trig:
-                    self.stats["trigger_frames"] += len(trig)
-                    ok_skip = all(
-                        int(g_acc[f].sum()) >= 2 * MIN_TRACK_TAGS for f in trig
-                    )
-                    coldres.update(run_cold(trig, do_assist=not ok_skip))
-                    for f in trig:
-                        merge_frame(f)
+            self.stats["trigger_frames"] += len(lead)
+            for f in lead:
+                self.stats.setdefault("trigger_log", []).append(
+                    (f, sorted(fails_at(f) - st["known_bad"].keys()))
+                )
+            coldres.update(
+                cold_sweep(
+                    lead, "detect/track-audit",
+                    chunk=self.chunk if len(lead) >= 24 else None,
+                )
+            )
+            improved: List[int] = []
+            for f in lead:
+                added = any(t not in results[f] for t in coldres[f])
+                for t in fails_at(f):
+                    if (t + first) not in coldres[f]:
+                        st["known_bad"][t] = g0 + f
+                write_result(f)
+                if added:
+                    improved.append(f)
+            best: Dict[int, int] = {}  # row -> earliest improved frame
+            for f in improved:
+                r = int(row_of[f])
+                if r < 0 or r in no_resweep:
+                    continue
+                if r not in best or pos_of[f] < pos_of[best[r]]:
+                    best[r] = f
+            jobs = []
+            for r, f in best.items():
+                rest = row_frames[r][pos_of[f] + 1 :]
+                if not rest:
+                    continue
+                d = 1 if r % 2 == 0 else -1  # even rows sweep forward
+                jobs.append((rest, (f, f - d, f - 2 * d)))
+            if jobs:
+                self.stats["resweeps"] = self.stats.get("resweeps", 0) + len(jobs)
+                run_resweeps(jobs)
 
-            last = pos + nb - 1
-            (
-                st["c3"], st["v3"], st["c2"], st["v2"], st["c1"], st["v1"],
-            ) = carry_at(last)
-            st["frame_idx"] += nb
-            pos += nb
+        # final sweep over the LIGHT suspects (single batch, no repair):
+        # completes the guarantee that every non-benign hard failure is
+        # either cold-audited on its frame or cold-confirmed absent
+        light = [
+            f
+            for f in range(B)
+            if f not in coldres and (fails_at(f) - st["known_bad"].keys())
+        ]
+        if light:
+            self.stats["trigger_frames"] += len(light)
+            for f in light:
+                self.stats.setdefault("trigger_log", []).append(
+                    (f, sorted(fails_at(f) - st["known_bad"].keys()))
+                )
+            coldres.update(
+                cold_sweep(
+                    light, "detect/track-audit",
+                    chunk=self.chunk if len(light) >= 24 else None,
+                )
+            )
+            for f in light:
+                for t in fails_at(f):
+                    if (t + first) not in coldres[f]:
+                        st["known_bad"][t] = g0 + f
+                write_result(f)
 
-        # ---- post-hoc cadence audit (recall insurance) ----------------
-        # One BATCHED phased sweep instead of per-chunk synchronous cold
-        # groups: at 534 frames the inline version cost ~0.45 s per group
-        # of mostly link latency; batching overlaps the downloads, the
-        # native quadproc and the decode fetches across groups.  Audited
-        # frames merge cold detections; when cold recovered tags tracking
-        # lost, the window after the frame is re-scanned from the
-        # corrected carry, so a predictor blind spot never persists past
-        # one cadence interval.
-        audit = sorted(
-            set(f for f in cadence_all if f not in coldres) | deferred
-        )
-        if audit:
-            with stage("detect/track-audit"):
-                G = self.cold_chunk
-                groups, packeds, subs = [], [], []
-                for g in range(0, len(audit), G):
-                    grp = audit[g : g + G]
-                    idx = np.asarray(
-                        grp + [grp[-1]] * (G - len(grp)), np.int32
-                    )
-                    sub = jnp.take(dev_all, jnp.asarray(idx), axis=0)
-                    groups.append(grp)
-                    subs.append(sub)
-                    packeds.append(self._threshold_packed_for(sub))
-                # phase 1: bitmaps -> quadproc -> enqueue decode, with the
-                # per-group downloads prefetched on a thread so the link
-                # transfer of group i+1 overlaps the host CCL of group i
-                from concurrent.futures import ThreadPoolExecutor
-
-                pool = ThreadPoolExecutor(max_workers=2)
-                fetches = [pool.submit(np.asarray, p) for p in packeds]
-                pend = []
-                for grp, sub, fut in zip(groups, subs, fetches):
-                    scale = 2 if max(H, W) >= self.pyramid_min_side else 1
-                    sH, sW = H // scale, W // scale
-                    pk = fut.result()
-                    b1 = np.unpackbits(pk, axis=-1, count=pk.shape[-1] * 8)[
-                        :, :sH, :sW
-                    ]
-                    quads, counts = self._extract_quads(b1, board, scale)
-                    out, qf, total = self._dispatch_decode(sub, quads, counts)
-                    pend.append((grp, out, qf, total))
-                    self.stats["cold_groups"] += 1
-                    self.stats["cold_frames"] += len(grp)
-                # phase 2: fetch (prefetched) + merge + forward re-scan
-                outs_np = [
-                    pool.submit(
-                        lambda o: {k: np.asarray(v) for k, v in o.items()
-                                   if k != "sharp"},
-                        out,
-                    )
-                    for _, out, _, _ in pend
-                ]
-                pool.shutdown(wait=False)
-                rescan_until = -1
-                for (grp, out, qf, total), fut in zip(pend, outs_np):
-                    res = self._collect_results(fut.result(), qf, total, len(grp))
-                    for k, f in enumerate(grp):
-                        coldres[f] = res[k]
-                for f in audit:
-                    improved = merge_frame(f)
-                    if improved and f >= rescan_until and f + 1 < B:
-                        with stage("detect/track"):
-                            arrs = scan_from(f + 1, carry_at(f))
-                        apply_scan(f + 1, arrs, min(f + 1 + C, B))
-                        # audited frames inside the window keep their cold
-                        # detections (write_result folds coldres back in)
-                        rescan_until = f + 1 + C
-            (
-                st["c3"], st["v3"], st["c2"], st["v2"], st["c1"], st["v1"],
-            ) = carry_at(B - 1)
+        st["prev"] = (results[B - 3], results[B - 2], results[B - 1])
+        st["frame_idx"] += B
         return results
 
     # -------------------------------------------------------------- single

@@ -5,25 +5,32 @@ small — yet the cold pipeline pays the packed-bitmap download, the
 single-core native CCL, and the host assist bookkeeping for EVERY frame
 (the detect stage is the reference's own hot loop #1,
 ``/root/reference/src/data_loader.rs:114-127``).  Tracking replaces all of
-that for the steady-state majority of frames with ONE device graph per
-chunk:
+that for the steady-state majority of frames with a few fused device
+graphs ("waves"):
 
-  for each frame (``lax.scan``):
-    predict every board tag's quad from the previous frame
-      - decoded tags: constant-velocity extrapolation of their corners
-      - missing tags: local homography fit from the 4 nearest decoded
-        neighbors (board plane -> image; the same idea as the board-assist
-        pass, but fed by the previous frame) plus the mean scene velocity
-    subpixel-refine the predicted corners on the current frame
-    decode and accept only on tag-id match (like assist, a far stronger
-      test than open-set matching, so a relaxed hamming budget is safe)
-    carry the accepted corners to the next frame
+  anchors: cold-detect PAIRS of frames every ``cold_every`` frames (one
+    batched cold pass; a pair gives each anchor an exact velocity);
+  waves: advance every inter-anchor segment simultaneously — wave w
+    processes frame ``leftpair+2+w`` of every segment (forward sweep) and
+    ``rightpair-1-w`` (backward sweep) in ONE device graph:
+      predict every board tag's quad from the sweep's last frames
+        - decoded tags: quadratic (constant-acceleration) extrapolation
+        - recently-lost tags: coast on their last position + velocity
+        - missing tags: local homography fit from the 4 nearest decoded
+          neighbors (board plane -> image) plus the mean scene velocity
+      subpixel-refine the predicted corners on the current frame
+      decode and accept only on tag-id match (a far stronger test than
+        open-set matching, so a relaxed hamming budget is safe)
+      carry the accepted corners to the segment's next frame.
 
-The only link traffic is the per-chunk carry upload (~1 KB) and the
-(C, n_tags)-sized outputs (~100 KB) — no bitmaps, no host CCL.  Frames
-where tracking is suspect fall back to the cold pipeline (see
-``detector.TagDetector._detect_batch_tracked`` for the trigger policy),
-so recall can never silently degrade below the cold detector's.
+An earlier design advanced ONE frame per ``lax.scan`` step — 36 quads per
+step left the TPU idle (measured 5.2 ms/frame, no faster than the whole
+cold pipeline).  Waves batch ~70 segment-sweeps x n_tags quads per step
+and chain the carry device-side, so a 534-frame batch costs ~7 graph
+dispatches and one final fetch.  Frames where tracking is suspect fall
+back to the cold pipeline (see ``detector.TagDetector._detect_batch_tracked``
+for the audit policy), so recall can never silently degrade below the
+cold detector's.
 """
 
 from __future__ import annotations
@@ -122,57 +129,33 @@ def _apply_h_batch(H, pts):
     return p[:, :, :2] / z[:, :, None]
 
 
-@partial(jax.jit, static_argnames=("family", "debug"))
-def track_chunk(
-    family: TagFamily, images, board_xy, first_id,
-    p3c, p3v, p2c, p2v, p1c, p1v, debug: bool = False,
-):
-    """Track all board tags through a chunk of consecutive frames.
+def _predict_rows(board_xy, d2_all, c3, v3, c2, v2, c1, v1,
+                  coast_c, coast_v, coast_age, Hh, Ww):
+    """Batched one-frame-ahead prediction of every board tag's quad.
 
-    Args:
-      images: (C, H, W) uint8/f32 original frames, time-ordered.
-      board_xy: (n_tags, 4, 2) f32 board-plane tag corner coordinates.
-      first_id: int32 scalar — board tag id offset (decode tag ids are
-        ``first_id + local_index``).
-      p3c/p3v: (n_tags, 4, 2) corners + (n_tags,) validity of frame -3
-        (enables constant-ACCELERATION prediction; pass p3v=False to
-        degrade to constant velocity).
-      p2c/p2v: same for frame -2; p1c/p1v: frame -1 (the seed).
+    All args carry a leading row axis R (one row = one independent track
+    state; the wave tracker advances a whole batch of segment sweeps in
+    lockstep).  Same prediction policy as the sequential scan documented
+    in the module docstring: quadratic extrapolation through the last
+    three observations, per-tag coasting for recently-lost tags, local
+    homography from the 4 nearest decoded neighbors otherwise.
 
-    Returns (corners (C, n_tags, 4, 2), accepted (C, n_tags),
-    attempted (C, n_tags), benign (C, n_tags)) where ``attempted`` marks
-    tags whose predicted quad was valid and fully in-bounds — the set the
-    fallback policy audits — and ``benign`` the attempted failures whose
-    localization converged (cold-equivalent decode noise).
+    Returns (pred, pred_t, attempt, area-ordered pred for carry) with
+    shapes (R, n_tags, 4, 2) / (R, n_tags).
     """
-    imgs = images.astype(jnp.float32)
-    sharp_all = unsharp(imgs)
-    n_tags = board_xy.shape[0]
-    Hh, Ww = imgs.shape[1], imgs.shape[2]
-    centers = board_xy.mean(axis=1)  # (n_tags, 2)
-    d2_all = ((centers[:, None] - centers[None]) ** 2).sum(-1)
-    exp_id = jnp.arange(n_tags, dtype=jnp.int32) + first_id.astype(jnp.int32)
-
-    def step(carry, xs):
-        img, simg = xs
-        c3, v3, c2, v2, c1, v1, coast_c, coast_v, coast_age = carry
+    def one(c3, v3, c2, v2, c1, v1, coast_c, coast_v, coast_age):
+        n_tags = board_xy.shape[0]
         both = v1 & v2
         vel = jnp.where(both[:, None, None], c1 - c2, 0.0)
         nv = jnp.maximum(jnp.sum(both), 1)
         gvel = jnp.sum(vel * both[:, None, None], axis=(0, 1)) / (nv * 4)
-        # quadratic (constant-acceleration) extrapolation through the last
-        # three observations where available, else constant velocity:
-        # handheld sweeps accelerate (measured ~3-4 px/frame^2 on the
-        # smooth-trajectory bench), which breaks linear prediction right
-        # past the refine capture radius
         quad_ok = both & v3
         pred_quad = 3.0 * c1 - 3.0 * c2 + c3
         pred_id = jnp.where(quad_ok[:, None, None], pred_quad, c1 + vel)
 
-        # local homography prediction (tags missing longer than MAX_COAST)
         d2m = d2_all + jnp.where(v1, 0.0, 1e12)[None, :]
-        negd, idx = jax.lax.top_k(-d2m, N_NEIGHBORS)  # (n_tags, k)
-        nb_ok = (-negd < 1e11).all(axis=1)  # all k neighbors decoded
+        negd, idx = jax.lax.top_k(-d2m, N_NEIGHBORS)
+        nb_ok = (-negd < 1e11).all(axis=1)
         src = board_xy[idx].reshape(n_tags, -1, 2)
         dst = c1[idx].reshape(n_tags, -1, 2)
         Hs = _fit_h_batch(src, dst)
@@ -180,10 +163,6 @@ def track_chunk(
         h_ok = nb_ok & jnp.isfinite(ph).all(axis=(1, 2))
         ph = jnp.nan_to_num(ph)
 
-        # recently-lost tags coast on their own last position advanced by
-        # their own remembered velocity (global velocity is wrong at the
-        # fisheye rim under rotation — exactly where marginal tags live;
-        # homography extrapolation degrades there too)
         coast_p = coast_c + coast_v
         coasting = (~v1) & (coast_age <= MAX_COAST)
         pred = jnp.where(
@@ -192,8 +171,6 @@ def track_chunk(
             jnp.where(coasting[:, None, None], coast_p, ph),
         )
         pred_ok = v1 | coasting | h_ok
-        # decode expects clockwise traversal in image coordinates (the
-        # canonical Kalibr corner order comes out counter-clockwise)
         x, y = pred[..., 0], pred[..., 1]
         area2 = jnp.sum(x * jnp.roll(y, -1, 1) - jnp.roll(x, -1, 1) * y, axis=1)
         pred_t = jnp.where((area2 < 0)[:, None, None], pred[:, ::-1], pred)
@@ -204,66 +181,179 @@ def track_chunk(
             & (pred[..., 1].max(1) <= Hh - 1 + EDGE_MARGIN)
             & (0.5 * jnp.abs(area2) >= MIN_QUAD_AREA)
         )
-        attempt = pred_ok & inb
+        return pred, pred_t, pred_ok & inb, pred_id, coast_p, gvel
 
-        # subpixel refine on the original frame, decode on the sharpened
-        corners = pred_t.reshape(-1, 2)
-        cframe = jnp.zeros(corners.shape[0], dtype=jnp.int32)
-        patches, local, offset = extract_patches(img[None], corners, cframe)
-        quads = (refine_patches_2stage(patches, local) + offset).reshape(n_tags, 4, 2)
-        dec = _decode_core(
-            family, simg[None], quads, jnp.zeros(n_tags, jnp.int32), attempt
-        )
-        id_match = dec["tag_id"] == exp_id
-        acc = (
-            attempt
-            & dec["contrast_ok"]
-            & id_match
-            & (dec["hamming"] <= family.max_hamming + TRACK_EXTRA_HAMMING)
-        )
-        # decode-limited failures are COLD-EQUIVALENT, not tracking misses:
-        # the right tag id at a well-converged quad (refinement stayed well
-        # inside its capture radius) with healthy contrast, only the
-        # hamming over budget — the cold pipeline would localize the same
-        # quad and run the same decode on the same pixels, so it fails the
-        # (stricter, max_hamming) budget too.  Excluding these from the
-        # fallback audit stops noise-flickering marginal tags from
-        # triggering a cold run every frame (measured: 19.7 s of cold
-        # fallbacks over a 534-frame bench without this).
-        disp = jnp.linalg.norm(quads - pred_t, axis=-1).max(axis=-1)
-        benign = (
-            attempt
-            & ~acc
-            & id_match
-            & dec["contrast_ok"]
-            & (disp < BENIGN_MAX_DISP)
-        )
-        out_c = dec["corners"]
-        new_c = jnp.where(acc[:, None, None], out_c, pred_id)
-        new_coast = jnp.where(acc[:, None, None], out_c, coast_p)
-        # per-tag velocity memory: observed motion at accept, carried
-        # (unchanged) through misses; fresh re-acquisitions fall back to
-        # the global mean velocity
-        obs_v = jnp.where(
-            (acc & v1)[:, None, None],
-            out_c - c1,
-            jnp.broadcast_to(gvel, coast_v.shape),
-        )
-        new_coast_v = jnp.where(acc[:, None, None], obs_v, coast_v)
-        new_age = jnp.where(acc, 0, coast_age + 1)
-        ys = (out_c, acc, attempt, benign)
-        if debug:
-            ys = ys + (pred, disp, dec["tag_id"], dec["hamming"],
-                       dec["contrast_ok"], v1, coasting, quad_ok)
-        return (
-            (c2, v2, c1, v1, new_c, acc, new_coast, new_coast_v, new_age),
-            ys,
-        )
+    return jax.vmap(one)(c3, v3, c2, v2, c1, v1, coast_c, coast_v, coast_age)
 
-    init_age = jnp.where(p1v, 0, MAX_COAST + 1).astype(jnp.int32)
-    init = (p3c, p3v, p2c, p2v, p1c, p1v, p1c, jnp.zeros_like(p1c), init_age)
-    _, ys = jax.lax.scan(step, init, (imgs, sharp_all))
-    return ys
+
+@partial(jax.jit, static_argnames=("family",))
+def wave_advance(family: TagFamily, images, board_xy, first_id,
+                 carry, row_active):
+    """Advance R independent track states by ONE frame each — batched.
+
+    The wave tracker's device kernel: where the sequential scan processed
+    one frame per ``lax.scan`` step (36 quads — far too small a batch for
+    the TPU, measured 5.2 ms/frame), a wave advances EVERY anchor
+    segment's sweep simultaneously: R rows x n_tags quads through one
+    fused predict -> subpixel-refine -> decode graph.  A 534-frame batch
+    needs ~7 waves of ~70 rows instead of 534 sequential steps, and the
+    carry chains on device (no host sync between waves).
+
+    Args:
+      images: (R, H, W) uint8/f32 — row r's current frame.
+      board_xy: (n_tags, 4, 2) board-plane tag corners.
+      first_id: int32 scalar board tag id offset.
+      carry: tuple (c3, v3, c2, v2, c1, v1, coast_c, coast_v, coast_age)
+        of (R, n_tags, ...) arrays — per-row track state, time-ordered in
+        the row's SWEEP direction (backward rows simply feed frames in
+        reverse; the prediction math is direction-agnostic).
+      row_active: (R,) bool — padding / exhausted rows decode nothing.
+
+    Returns (new_carry, (corners, acc, att, benign)) with outputs shaped
+    (R, n_tags, ...).
+    """
+    imgs = images.astype(jnp.float32)
+    R, Hh, Ww = imgs.shape
+    n_tags = board_xy.shape[0]
+    c3, v3, c2, v2, c1, v1, coast_c, coast_v, coast_age = carry
+    centers = board_xy.mean(axis=1)
+    d2_all = ((centers[:, None] - centers[None]) ** 2).sum(-1)
+    exp_id = jnp.arange(n_tags, dtype=jnp.int32) + first_id.astype(jnp.int32)
+
+    pred, pred_t, attempt, pred_id, coast_p, gvel = _predict_rows(
+        board_xy, d2_all, c3, v3, c2, v2, c1, v1,
+        coast_c, coast_v, coast_age, Hh, Ww,
+    )
+    attempt = attempt & row_active[:, None]
+
+    # one fused refine+decode over all R x n_tags predicted quads
+    corners = pred_t.reshape(-1, 2)
+    cframe = jnp.repeat(jnp.arange(R, dtype=jnp.int32), n_tags * 4)
+    patches, local, offset = extract_patches(imgs, corners, cframe)
+    quads = (refine_patches_2stage(patches, local) + offset).reshape(
+        R, n_tags, 4, 2
+    )
+    sharp = unsharp(imgs)
+    dec = _decode_core(
+        family, sharp,
+        quads.reshape(-1, 4, 2),
+        jnp.repeat(jnp.arange(R, dtype=jnp.int32), n_tags),
+        attempt.reshape(-1),
+    )
+    tag_id = dec["tag_id"].reshape(R, n_tags)
+    hamming = dec["hamming"].reshape(R, n_tags)
+    contrast_ok = dec["contrast_ok"].reshape(R, n_tags)
+    out_c = dec["corners"].reshape(R, n_tags, 4, 2)
+
+    id_match = tag_id == exp_id[None, :]
+    acc = (
+        attempt
+        & contrast_ok
+        & id_match
+        & (hamming <= family.max_hamming + TRACK_EXTRA_HAMMING)
+    )
+    disp = jnp.linalg.norm(quads - pred_t, axis=-1).max(axis=-1)
+    benign = (
+        attempt & ~acc & id_match & contrast_ok & (disp < BENIGN_MAX_DISP)
+    )
+
+    # ---- in-wave assist: re-attempt everything not accepted from the
+    # CURRENT frame's accepted tags (local board->image homography) — the
+    # same recovery the cold pipeline's board-assist pass provides.  Rim
+    # tags drift past the refine capture radius under EXTRAPOLATION (the
+    # fisheye magnifies motion exactly there), but same-frame neighbor
+    # geometry predicts them within a pixel; this pass also picks up tags
+    # entering the view that no prior-frame carry could predict.
+    def assist_one(vc, cc):
+        d2m = d2_all + jnp.where(vc, 0.0, 1e12)[None, :]
+        negd, idx = jax.lax.top_k(-d2m, N_NEIGHBORS)
+        nb_ok = (-negd < 1e11).all(axis=1)
+        src = board_xy[idx].reshape(n_tags, -1, 2)
+        dst = cc[idx].reshape(n_tags, -1, 2)
+        Hs = _fit_h_batch(src, dst)
+        ph = _apply_h_batch(Hs, board_xy)
+        ok = nb_ok & jnp.isfinite(ph).all(axis=(1, 2))
+        return jnp.nan_to_num(ph), ok
+
+    safe_c = jnp.where(acc[..., None, None], out_c, 0.0)
+    ph2, h2_ok = jax.vmap(assist_one)(acc, safe_c)
+    x2, y2 = ph2[..., 0], ph2[..., 1]
+    area2b = jnp.sum(
+        x2 * jnp.roll(y2, -1, 2) - jnp.roll(x2, -1, 2) * y2, axis=2
+    )
+    ph2_t = jnp.where((area2b < 0)[..., None, None], ph2[:, :, ::-1], ph2)
+    inb2 = (
+        (ph2[..., 0].min(2) >= -EDGE_MARGIN)
+        & (ph2[..., 1].min(2) >= -EDGE_MARGIN)
+        & (ph2[..., 0].max(2) <= Ww - 1 + EDGE_MARGIN)
+        & (ph2[..., 1].max(2) <= Hh - 1 + EDGE_MARGIN)
+        & (0.5 * jnp.abs(area2b) >= MIN_QUAD_AREA)
+    )
+    attempt2 = row_active[:, None] & ~acc & h2_ok & inb2
+    corners2 = ph2_t.reshape(-1, 2)
+    patches2, local2, offset2 = extract_patches(imgs, corners2, cframe)
+    quads2 = (refine_patches_2stage(patches2, local2) + offset2).reshape(
+        R, n_tags, 4, 2
+    )
+    dec2 = _decode_core(
+        family, sharp,
+        quads2.reshape(-1, 4, 2),
+        jnp.repeat(jnp.arange(R, dtype=jnp.int32), n_tags),
+        attempt2.reshape(-1),
+    )
+    id2 = dec2["tag_id"].reshape(R, n_tags) == exp_id[None, :]
+    ham2 = dec2["hamming"].reshape(R, n_tags)
+    out2_c = dec2["corners"].reshape(R, n_tags, 4, 2)
+    # same acceptance as the cold board-assist pass (assist.assist_merge):
+    # id match + relaxed hamming, NO contrast gate — the id match is the
+    # strong test, and oblique rim tags legitimately run low-contrast.
+    # Anything stricter here makes tracking hard-fail tags the cold
+    # pipeline recovers, and every such tag costs a cold audit.
+    acc2 = (
+        attempt2
+        & id2
+        & (ham2 <= family.max_hamming + TRACK_EXTRA_HAMMING)
+    )
+    disp2 = jnp.linalg.norm(quads2 - ph2_t, axis=-1).max(axis=-1)
+    benign = (attempt2 & ~acc2 & id2 & (disp2 < BENIGN_MAX_DISP)) | benign
+    out_c = jnp.where(acc2[..., None, None], out2_c, out_c)
+    acc = acc | acc2
+    attempt = attempt | attempt2
+
+    new_c = jnp.where(acc[..., None, None], out_c, pred_id)
+    new_coast = jnp.where(acc[..., None, None], out_c, coast_p)
+    obs_v = jnp.where(
+        (acc & v1)[..., None, None],
+        out_c - c1,
+        jnp.broadcast_to(gvel[:, None, None, :], coast_v.shape),
+    )
+    new_coast_v = jnp.where(acc[..., None, None], obs_v, coast_v)
+    new_age = jnp.where(acc, 0, coast_age + 1)
+    new_carry = (
+        c2, v2, c1, v1, new_c, acc, new_coast, new_coast_v, new_age
+    )
+    return new_carry, (out_c, acc, attempt, benign)
+
+
+def init_wave_carry(c1, v1, c2, v2, c3=None, v3=None):
+    """Build the 9-tuple wave carry from the seed frames of each row.
+
+    c1/v1: (R, n_tags, 4, 2)/(R, n_tags) — the row's NEAREST seed frame
+    (the one adjacent to the first frame the row will process); c2/v2 the
+    one behind it in sweep order, c3/v3 the one behind that.  Anchors are
+    cold-detected in TRIPLES precisely so the quadratic
+    (constant-acceleration) prediction engages from the first wave —
+    constant-velocity seeding measurably overruns the refine capture
+    radius at realistic handheld accelerations.
+    """
+    init_age = np.where(v1, 0, MAX_COAST + 1).astype(np.int32)
+    if c3 is None:
+        c3 = np.zeros_like(c1)
+        v3 = np.zeros_like(v1)
+    return (
+        c3, v3, c2, v2, c1, v1,
+        c1.copy(), np.zeros_like(c1), init_age,
+    )
 
 
 def detections_to_arrays(res, board) -> tuple:

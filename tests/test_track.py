@@ -151,10 +151,14 @@ def test_track_carry_across_calls(bench_like_video):
             np.testing.assert_allclose(a[tid], b[tid], atol=0.2)
 
 
-def test_track_chunk_graph_direct():
-    """Unit-level: track_chunk decodes tags from an exact-prediction seed
-    and reports out-of-bounds predictions as not-attempted."""
-    from ccrs_tpu.detect.track import detections_to_arrays, track_chunk
+def test_wave_advance_graph_direct():
+    """Unit-level: wave_advance decodes tags from an exact-prediction seed,
+    masks inactive rows, and reports acc <= att."""
+    from ccrs_tpu.detect.track import (
+        detections_to_arrays,
+        init_wave_carry,
+        wave_advance,
+    )
 
     board = create_default_6x6_board()
     fam = get_family("t36h11")
@@ -169,20 +173,33 @@ def test_track_chunk_graph_direct():
         ]
     )
     cold = TagDetector("t36h11", track=False).detect_batch(
-        imgs[:1], board=board
-    )[0]
-    assert len(cold) >= 20
-    c1, v1 = detections_to_arrays(cold, board)
+        imgs[:2], board=board
+    )
+    assert len(cold[1]) >= 20
     n = board.n_tags
+    c1, v1 = detections_to_arrays(cold[1], board)
+    c2, v2 = detections_to_arrays(cold[0], board)
+    R = 2  # row 0: real sweep seeded from frames 0/1; row 1: inactive pad
+    c1r = np.stack([c1, c1])
+    v1r = np.stack([v1, v1])
+    c2r = np.stack([c2, c2])
+    v2r = np.stack([v2, v2])
     bxy = jnp.asarray(board.p3d.reshape(n, 4, 3)[:, :, :2].astype(np.float32))
-    z = jnp.zeros(n, bool)
-    cor, acc, att, ben = track_chunk(
-        fam, jnp.asarray(imgs), bxy, jnp.asarray(np.int32(board.config.first_id)),
-        jnp.asarray(c1), z, jnp.asarray(c1), z, jnp.asarray(c1), jnp.asarray(v1),
+    carry = tuple(
+        jnp.asarray(a) for a in init_wave_carry(c1r, v1r, c2r, v2r)
+    )
+    active = jnp.asarray(np.array([True, False]))
+    wave_imgs = jnp.asarray(np.stack([imgs[2], imgs[2]]))
+    carry2, (cor, acc, att, ben) = wave_advance(
+        fam, wave_imgs, bxy, jnp.asarray(np.int32(board.config.first_id)),
+        carry, active,
     )
     acc = np.asarray(acc)
     att = np.asarray(att)
-    # frame 0 re-decodes its own seed; later frames track the small motion
-    assert acc[0].sum() >= len(cold) - 1
-    assert acc[1].sum() >= len(cold) - 2
+    # the active row tracks the small motion; the inactive row does nothing
+    assert acc[0].sum() >= len(cold[1]) - 2
+    assert att[1].sum() == 0 and acc[1].sum() == 0
     assert (acc <= att).all()
+    # the carry advanced: c1 slot of the new carry holds accepted corners
+    new_c1, new_v1 = np.asarray(carry2[4]), np.asarray(carry2[5])
+    assert (new_v1[0] == acc[0]).all()
