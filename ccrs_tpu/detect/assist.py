@@ -26,7 +26,7 @@ from .families import TagFamily
 ASSIST_EXTRA_HAMMING = 2
 MIN_TAGS_FOR_ASSIST = 4
 N_NEIGHBORS = 4
-_BUCKET = 256  # grow-only decode bucket
+_BUCKET = 8  # small rung of the per-frame candidate bucket ladder
 
 
 def _tag_corner_xy(board: Board, tag_local: int) -> np.ndarray:
@@ -100,9 +100,10 @@ def assist_candidates(board: Board, results: List[Dict[int, np.ndarray]],
                       W: int, H: int):
     """Host half 1: predict quads for missing tags from decoded neighbors.
 
-    Returns (cand, quads, qframe, qvalid) where cand is a list of
-    (frame, expected_tag_id, quad) and the arrays are bucketed to a static
-    decode shape — or (None, ...) when no frame has work to do."""
+    Returns DENSE per-frame candidate buffers (quads (B, Ma, 4, 2),
+    valid (B, Ma), expected_id (B, Ma) int32) sized to a sticky grow-only
+    bucket Ma — the layout decode.refine_decode_fused_dense consumes —
+    or (None, None, None) when no frame has work to do."""
     first = board.config.first_id
     n_tags = board.n_tags
     centers = board.p3d.reshape(n_tags, 4, 3)[:, :, :2].mean(1)
@@ -124,7 +125,7 @@ def assist_candidates(board: Board, results: List[Dict[int, np.ndarray]],
         tgt_l.append(missing)
         frame_l.append(np.full(len(missing), b, np.int32))
     if not src_l:
-        return None, None, None, None
+        return None, None, None
     src = np.concatenate(src_l)  # (Q, 4k, 2)
     dst = np.concatenate(dst_l)
     tgt = np.concatenate(tgt_l)  # (Q,) local tag index
@@ -152,33 +153,40 @@ def assist_candidates(board: Board, results: List[Dict[int, np.ndarray]],
         # degenerate/too-small predictions are not worth decoding
         & (0.5 * np.abs(area2) >= 49)
     )
-    cand = [
-        (int(frm[q]), int(tgt[q]) + first, quad[q].astype(np.float32))
-        for q in np.flatnonzero(ok)
-    ]
-    if not cand:
-        return None, None, None, None
+    keep = np.flatnonzero(ok)
+    if keep.size == 0:
+        return None, None, None
 
-    # bucket the compact candidate list to a static decode shape
-    # (grow-only in 256 steps so boundary-hovering counts don't flap the
-    # compiled shape)
-    global _BUCKET
-    total = len(cand)
-    _BUCKET = max(_BUCKET, -(-total // 256) * 256)
-    bucket = _BUCKET
-    quads = np.zeros((bucket, 4, 2), np.float32)
-    qframe = np.zeros(bucket, np.int32)
-    qvalid = np.zeros(bucket, bool)
-    for i, (b, t, q) in enumerate(cand):
-        quads[i] = q
-        qframe[i] = b
-        qvalid[i] = True
-    return cand, quads, qframe, qvalid
+    # dense per-frame buffers on a TWO-RUNG bucket ladder: healthy chunks
+    # (a couple of missing tags per frame) use the small rung; any frame
+    # with a partially-visible board jumps straight to n_tags.  A single
+    # grow-only bucket would ratchet to n_tags on the first sparse frame
+    # and pad every later healthy chunk's decode ~4x.
+    B = len(results)
+    per_frame = np.bincount(frm[keep], minlength=B)
+    small = min(_BUCKET, n_tags)
+    Ma = small if int(per_frame.max()) <= small else n_tags
+    quads = np.zeros((B, Ma, 4, 2), np.float32)
+    valid = np.zeros((B, Ma), bool)
+    # padding slots carry expected id -1: the merge's id-match test can
+    # then run over the whole dense buffer without a separate mask
+    exp_id = np.full((B, Ma), -1, np.int32)
+    slot = np.zeros(B, np.int32)
+    for q in keep:
+        b = int(frm[q])
+        s = slot[b]
+        if s >= Ma:  # pragma: no cover - bucket guarantees capacity
+            continue
+        quads[b, s] = quad[q]
+        valid[b, s] = True
+        exp_id[b, s] = int(tgt[q]) + first
+        slot[b] = s + 1
+    return quads, valid, exp_id
 
 
 def assist_merge(
     family: TagFamily,
-    cand,
+    exp_id,
     out,
     results: List[Dict[int, np.ndarray]],
 ) -> int:
@@ -191,11 +199,14 @@ def assist_merge(
 
     recovered = 0
     budget = family.max_hamming + ASSIST_EXTRA_HAMMING
-    for i, (b, t_expect, _) in enumerate(cand):
-        if int(tag_id[i]) == t_expect and int(hamming[i]) <= budget:
-            if t_expect not in results[b]:
-                results[b][t_expect] = corners[i].copy()
-                recovered += 1
+    # id match + relaxed hamming, NO contrast gate (the id match is the
+    # strong test; oblique rim tags legitimately run low-contrast) —
+    # padding slots never match their expected id of -1
+    for b, s in zip(*np.nonzero((tag_id == exp_id) & (hamming <= budget))):
+        t_expect = int(exp_id[b, s])
+        if t_expect not in results[b]:
+            results[b][t_expect] = corners[b, s].copy()
+            recovered += 1
     return recovered
 
 
@@ -212,16 +223,16 @@ def recover_missing_tags(
 
     ``images``: (B, H, W) device array of ORIGINAL frames (uint8 or f32).
     """
-    from .decode import refine_decode_fused
+    from .decode import refine_decode_fused_dense
 
     B, H, W = images.shape
-    cand, quads, qframe, qvalid = assist_candidates(board, results, W, H)
-    if cand is None:
+    quads, valid, exp_id = assist_candidates(board, results, W, H)
+    if quads is None:
         return 0
-    out = refine_decode_fused(
-        family, images, jnp.asarray(quads), jnp.asarray(qframe),
-        jnp.asarray(qvalid), do_refine=do_refine,
+    out = refine_decode_fused_dense(
+        family, images, jnp.asarray(quads), jnp.asarray(valid),
+        do_refine=do_refine,
     )
-    return assist_merge(family, cand, out, results)
+    return assist_merge(family, exp_id, out, results)
 
 

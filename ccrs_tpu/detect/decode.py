@@ -197,6 +197,72 @@ def _decode_core(family: TagFamily, images, quads, qframe, qvalid):
     }
 
 
+def _decode_core_dense(family: TagFamily, sharp, quads, qvalid):
+    """Per-image dense decode: quads (B, M, 4, 2), qvalid (B, M).
+
+    Same math as _decode_core but the bit sampling runs as hat-weight
+    matmuls on the MXU (sample.sample_bilinear_mm) instead of XLA
+    gathers — measured 30.4 -> 5.9 ms on the tracking-wave shape (the
+    gather unit issues ~128M elem/s; see sample.py).  ``sharp`` must be
+    decode-ready (sharpened, f32).  Returns the _decode_core dict with
+    (B, M, ...) shapes.
+    """
+    from .sample import sample_bilinear_mm
+
+    data_uv, black_uv, white_uv = _sample_grids(family)
+    codes = jnp.asarray(family.rotated_codes, dtype=jnp.float32)
+    nbits = codes.shape[1]
+    B, M = quads.shape[:2]
+    n_data, n_black, n_white = (
+        data_uv.shape[0], black_uv.shape[0], white_uv.shape[0],
+    )
+    all_uv = jnp.concatenate([data_uv, black_uv, white_uv], axis=0)
+
+    def quad_pos(quad):
+        return _apply_h(_unit_square_homography(quad), all_uv)
+
+    pos = jax.vmap(jax.vmap(quad_pos))(quads)          # (B, M, S, 2)
+    S = all_uv.shape[0]
+    # barrier: without it XLA fuses the homography projection into the
+    # hat-weight broadcast and recomputes it per image COLUMN (measured
+    # 46 ms -> ~8 ms for this decode on the tracking-wave shape)
+    pos = jax.lax.optimization_barrier(pos)
+    vals = sample_bilinear_mm(
+        sharp, pos[..., 0].reshape(B, M * S), pos[..., 1].reshape(B, M * S)
+    ).reshape(B, M, S)
+    dpix = vals[:, :, :n_data].reshape(B, M, -1, 9).mean(axis=3)
+    black = vals[:, :, n_data : n_data + n_black].mean(axis=2)
+    white = vals[:, :, n_data + n_black :].mean(axis=2)
+    thr = 0.5 * (black + white)
+    bits = jnp.where(dpix > thr[..., None], 1.0, -1.0)
+    contrast_ok = (white - black) > MIN_DECODE_CONTRAST
+    # +-1 entries, <=64-term sums: exact in one bf16 MXU pass (see
+    # _decode_core)
+    scores = jnp.matmul(
+        bits.reshape(B * M, nbits), codes.T,
+        precision=jax.lax.Precision.DEFAULT,
+    ).reshape(B, M, -1)
+    best = jnp.argmax(scores, axis=2)
+    hamming = (
+        (nbits - jnp.take_along_axis(scores, best[..., None], axis=2)[..., 0])
+        / 2
+    ).astype(jnp.int32)
+    tag_id = best // 4
+    rotation = best % 4
+    valid = qvalid & contrast_ok & (hamming <= family.max_hamming)
+    kalibr_perm = jnp.asarray([1, 0, 3, 2])
+    idx = (kalibr_perm[None, None, :] - rotation[..., None]) % 4
+    corners = jnp.take_along_axis(quads, idx[..., None], axis=2)
+    return {
+        "tag_id": tag_id,
+        "rotation": rotation,
+        "hamming": hamming,
+        "valid": valid,
+        "contrast_ok": contrast_ok,
+        "corners": corners,
+    }
+
+
 @partial(jax.jit, static_argnames=("family",))
 def decode_quads_compact(family: TagFamily, images, quads, qframe, qvalid):
     """Decode a COMPACT quad list (padded to a static bucket size).
@@ -216,6 +282,41 @@ def decode_quads_compact(family: TagFamily, images, quads, qframe, qvalid):
     id tag*4+0; see the KALIBR_PERM note in _decode_core).
     """
     return _decode_core(family, images, quads, qframe, qvalid)
+
+
+@partial(jax.jit, static_argnames=("family", "do_refine"))
+def refine_decode_fused_dense(
+    family: TagFamily, images, quads, qvalid, do_refine: bool = True,
+    sharp=None, maps=None,
+):
+    """Dense-layout fused refine+decode: quads (B, M, 4, 2), qvalid (B, M).
+
+    The cold pipeline's successor to refine_decode_fused: per-frame dense
+    quad buffers let ALL sampling run as per-image MXU matmuls
+    (sample.py) instead of XLA gathers — the compact (Q,)+qframe layout
+    saved gather elements, but the gather unit's ~128M elem/s issue rate
+    made even the compacted path the detect stage's dominant cost.
+
+    ``sharp`` / ``maps`` reuse the previous call's device-resident
+    sharpened frames and KLT maps (the board-assist pass runs on the same
+    chunk).  Returns the _decode_core_dense dict plus "sharp" and "maps".
+    """
+    from .sample import build_klt_maps, refine_corners_mm, unsharp_mm
+
+    images = images.astype(jnp.float32)
+    B, M = quads.shape[:2]
+    if do_refine:
+        if maps is None:
+            maps = build_klt_maps(images)
+        quads = refine_corners_mm(
+            maps, quads.reshape(B, M * 4, 2)
+        ).reshape(B, M, 4, 2)
+    if sharp is None:
+        sharp = unsharp_mm(images)
+    out = _decode_core_dense(family, sharp, quads, qvalid)
+    out["sharp"] = sharp
+    out["maps"] = maps
+    return out
 
 
 @partial(jax.jit, static_argnames=("family", "do_refine"))

@@ -34,10 +34,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.profiling import stage
-from .decode import refine_decode_fused
+from .decode import refine_decode_fused_dense
 from .families import TagFamily, get_family
 from .quads import MAX_QUADS, extract_quads_batch
 from .threshold import adaptive_threshold_packed, pad_to_tile, threshold_front
+
+
+def _async_fetch(arrays) -> None:
+    """Start device->host copies for arrays that will be np.asarray'd
+    later.  On the remote backend every SYNCHRONOUS fetch pays the
+    ~31 ms link round trip serially (measured: 8 fetches = 420 ms of a
+    615 ms cold chunk); async copies enqueue behind the producing
+    computation and overlap both the link latency and later host work."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend without support
+            pass
 
 
 import jax as _jax
@@ -194,19 +207,38 @@ class TagDetector:
         import jax.numpy as jnp
 
         scale = 2 if max(height, width) >= self.pyramid_min_side else 1
-        bucket = self._bucket
-        qq = jnp.zeros((bucket, 4, 2), jnp.float32)
-        qf = jnp.zeros(bucket, jnp.int32)
-        qv = jnp.zeros(bucket, bool)
+        # primary decode bucket: a board-driven dataset produces ~n_tags
+        # (+ a little clutter) candidates per frame; seed the sticky
+        # bucket so the first real chunk reuses the warmed graph
+        if board is not None:
+            self._mq = max(
+                getattr(self, "_mq", 8), -(-(board.n_tags + 4) // 8) * 8
+            )
+        Mq = getattr(self, "_mq", 8)
         tracked = board is not None and self.track and self.refine
         sizes = [self.chunk, self.cold_chunk]
         for C in sizes:
             b = jnp.zeros((C, height, width), jnp.uint8)
             threshold_front(b, scale).block_until_ready()
-            out = refine_decode_fused(
-                self.family, b, qq, qf, qv, do_refine=self.refine
+            qq = jnp.zeros((C, Mq, 4, 2), jnp.float32)
+            qv = jnp.zeros((C, Mq), bool)
+            out = refine_decode_fused_dense(
+                self.family, b, qq, qv, do_refine=self.refine
             )
             out["valid"].block_until_ready()
+            if board is not None:
+                # the assist decode variant (reused sharp + maps): both
+                # rungs of the candidate bucket ladder
+                from .assist import _BUCKET
+
+                for Ma in {min(_BUCKET, board.n_tags), board.n_tags}:
+                    aq = jnp.zeros((C, Ma, 4, 2), jnp.float32)
+                    av = jnp.zeros((C, Ma), bool)
+                    aout = refine_decode_fused_dense(
+                        self.family, b, aq, av, do_refine=self.refine,
+                        sharp=out["sharp"], maps=out["maps"],
+                    )
+                    aout["valid"].block_until_ready()
         if tracked:
             from .track import init_wave_carry, wave_advance
 
@@ -301,42 +333,40 @@ class TagDetector:
         return quads, counts
 
     def _dispatch_decode(self, dev_chunk, quads, counts):
-        """Compact the (C, K) quad buffer (mostly padding) to a static
-        bucket of real quads — ~3x fewer sampling gathers — and enqueue the
-        fused refine+decode graph.  Returns (out, qframe, total)."""
+        """Truncate the (C, K) quad buffer to the sticky per-frame bucket
+        and enqueue the DENSE fused refine+decode graph (all sampling as
+        per-image MXU matmuls; see decode.refine_decode_fused_dense).
+        Returns the decode-output dict."""
         C = dev_chunk.shape[0]
         n_real = np.minimum(counts, quads.shape[1])
-        qframe = np.repeat(np.arange(C, dtype=np.int32), n_real)
-        sel_k = np.concatenate(
-            [np.arange(n) for n in n_real] or [np.zeros(0, np.int64)]
-        ).astype(np.int64)
-        total = qframe.shape[0]
-        self._bucket = max(self._bucket, -(-total // 256) * 256)
-        bucket = self._bucket
-        qq = np.zeros((bucket, 4, 2), np.float32)
-        qq[:total] = quads[qframe, sel_k]
-        qf = np.zeros(bucket, np.int32)
-        qf[:total] = qframe
-        qv = np.zeros(bucket, bool)
-        qv[:total] = True
-        out = refine_decode_fused(
+        need = int(n_real.max()) if n_real.size else 1
+        # grow-only in 8-quad steps: boundary-hovering per-frame counts
+        # must not flap the compiled decode shape
+        self._mq = max(getattr(self, "_mq", 8), -(-need // 8) * 8)
+        Mq = min(self._mq, quads.shape[1])
+        qq = np.ascontiguousarray(quads[:, :Mq], np.float32)
+        qv = np.arange(Mq)[None, :] < n_real[:, None]
+        out = refine_decode_fused_dense(
             self.family, dev_chunk, jnp.asarray(qq),
-            jnp.asarray(qf), jnp.asarray(qv), do_refine=self.refine,
+            jnp.asarray(qv), do_refine=self.refine,
         )
-        return out, qf, total
+        _async_fetch(out[k] for k in ("tag_id", "hamming", "valid", "corners"))
+        return out
 
-    def _collect_results(self, out, qf, total, nb) -> List[Dict[int, np.ndarray]]:
-        """Fetch decode outputs and build per-frame {tag_id: corners},
-        keeping the lowest-hamming quad per (frame, tag).  Winner selection
-        is a vectorized lexsort group-by; Python touches only the final
-        detections (r02 verdict #8)."""
-        tag_id = np.asarray(out["tag_id"])
-        hamming = np.asarray(out["hamming"])
-        valid = np.asarray(out["valid"])
-        corners = np.asarray(out["corners"])  # (bucket,4,2)
+    def _collect_results(self, out, nb) -> List[Dict[int, np.ndarray]]:
+        """Fetch dense decode outputs and build per-frame
+        {tag_id: corners}, keeping the lowest-hamming quad per
+        (frame, tag).  Winner selection is a vectorized lexsort group-by;
+        Python touches only the final detections (r02 verdict #8)."""
+        tag_id = np.asarray(out["tag_id"]).reshape(-1)
+        hamming = np.asarray(out["hamming"]).reshape(-1)
+        valid = np.asarray(out["valid"]).reshape(-1)
+        C, Mq = out["valid"].shape
+        corners = np.asarray(out["corners"]).reshape(C * Mq, 4, 2)
+        qf = np.repeat(np.arange(C, dtype=np.int32), Mq)
 
         results: List[Dict[int, np.ndarray]] = [dict() for _ in range(nb)]
-        idx = np.flatnonzero(valid[:total])
+        idx = np.flatnonzero(valid)
         if idx.size:
             fr = qf[idx]
             tid = tag_id[idx]
@@ -467,44 +497,46 @@ class TagDetector:
             with stage("detect/quadproc"):
                 quads, counts = self._extract_quads(b1, board, scale)
             with stage("detect/dispatch"):
-                out, qf, total = self._dispatch_decode(dev_chunks[ci], quads, counts)
-            pending.append((out, qf, total))
+                out = self._dispatch_decode(dev_chunks[ci], quads, counts)
+            pending.append(out)
         pool.shutdown(wait=False)
 
         # Phase 2: fetch decode outputs; enqueue the assist decode.
         all_chunk_results: List[List[Dict[int, np.ndarray]]] = []
         assist_pending = []
         for ci in range(n_chunks):
-            out, qf, total = pending[ci]
+            out = pending[ci]
             nb = min(C, B - ci * C)
             with stage("detect/decode"):
-                chunk_results = self._collect_results(out, qf, total, nb)
+                chunk_results = self._collect_results(out, nb)
             all_chunk_results.append(chunk_results)
 
             if board is not None:
                 from .assist import assist_candidates
 
                 with stage("detect/assist"):
-                    cand, aq, af, av = assist_candidates(board, chunk_results, W, H)
-                    if cand is not None:
-                        aout = refine_decode_fused(
+                    aq, av, aexp = assist_candidates(board, chunk_results, W, H)
+                    if aq is not None:
+                        aout = refine_decode_fused_dense(
                             self.family, dev_chunks[ci], jnp.asarray(aq),
-                            jnp.asarray(af), jnp.asarray(av),
-                            do_refine=self.refine,
+                            jnp.asarray(av), do_refine=self.refine,
                             # reuse the primary pass's device-resident
-                            # sharpened frames (skips a second unsharp
-                            # over the whole chunk)
-                            sharp=out["sharp"],
+                            # sharpened frames and KLT maps (skips a
+                            # second unsharp + map build over the chunk)
+                            sharp=out["sharp"], maps=out["maps"],
                         )
-                        assist_pending.append((ci, cand, aout))
+                        _async_fetch(
+                            aout[k] for k in ("tag_id", "hamming", "corners")
+                        )
+                        assist_pending.append((ci, aexp, aout))
 
         # Phase 3: fetch + merge assist results.
         if assist_pending:
             from .assist import assist_merge
 
             with stage("detect/assist"):
-                for ci, cand, aout in assist_pending:
-                    assist_merge(self.family, cand, aout, all_chunk_results[ci])
+                for ci, aexp, aout in assist_pending:
+                    assist_merge(self.family, aexp, aout, all_chunk_results[ci])
 
         return [r for chunk in all_chunk_results for r in chunk]
 
@@ -642,7 +674,36 @@ class TagDetector:
         all_starts = ([-3] if virtual is not None else []) + starts
         segs = list(zip(all_starts[:-1], all_starts[1:]))
         n_list = [pR - pL - 3 for pL, pR in segs]
-        Wmax = max(((n + 1) // 2 for n in n_list), default=0)
+
+        # Sparse-board segments go COLD-DIRECT: when the bracketing
+        # anchors themselves see under ~45% of the board, the board is
+        # partially out of view — homography extrapolation from few
+        # tightly-packed rim neighbors collapses there (measured: frames
+        # 218-300 of the bench sweep produced 40+ audit triggers and
+        # whole-row cold fallbacks anyway).  Detecting those frames in
+        # the big pipelined cold chunk up front is strictly cheaper than
+        # waving + auditing them 8 at a time.
+        sparse_thr = max(MIN_TRACK_TAGS + 2, int(0.45 * n_tags))
+        cold_direct: set = set()
+        for si, (pL, pR) in enumerate(segs):
+            cl = max(len(resmap.get(pL + k, {})) for k in range(3))
+            cr = max(len(resmap.get(pR + k, {})) for k in range(3))
+            if min(cl, cr) < sparse_thr:
+                cold_direct.add(si)
+        direct_frames = sorted(
+            f
+            for si in cold_direct
+            for f in range(max(segs[si][0] + 3, 0), segs[si][1])
+            if f not in coldres
+        )
+        Wmax = max(
+            (
+                (n + 1) // 2
+                for si, n in enumerate(n_list)
+                if si not in cold_direct
+            ),
+            default=0,
+        )
 
         g_cor = np.zeros((B, n_tags, 4, 2), np.float32)
         g_acc = np.zeros((B, n_tags), bool)
@@ -657,6 +718,8 @@ class TagDetector:
             frame_of = np.zeros((Wmax, R), np.int32)
             act = np.zeros((Wmax, R), bool)
             for si, ((pL, pR), n) in enumerate(zip(segs, n_list)):
+                if si in cold_direct:
+                    continue
                 fc = (n + 1) // 2  # forward sweep takes the extra frame
                 for w in range(fc):
                     frame_of[w, 2 * si] = pL + 3 + w
@@ -670,6 +733,8 @@ class TagDetector:
             c2, v2 = c1.copy(), v1.copy()
             c3, v3 = c1.copy(), v1.copy()
             for si, (pL, pR) in enumerate(segs):
+                if si in cold_direct:
+                    continue
                 fr, bk = 2 * si, 2 * si + 1
                 c1[fr], v1[fr] = detections_to_arrays(resmap[pL + 2], board)
                 c2[fr], v2[fr] = detections_to_arrays(resmap[pL + 1], board)
@@ -698,12 +763,20 @@ class TagDetector:
                     )
                     outs.append(out)
                 self.stats["waves"] = Wmax
-                # stack per-wave outputs ON DEVICE and fetch once: four
-                # link round trips total instead of four per wave
-                fetched = tuple(
-                    np.asarray(jnp.stack([o[k] for o in outs]))
-                    for k in range(4)
+                # stack per-wave outputs ON DEVICE; fetched after the
+                # cold-direct sweep below overlaps with the wave compute
+                stacked = tuple(
+                    jnp.stack([o[k] for o in outs]) for k in range(4)
                 )
+                _async_fetch(stacked)
+            if direct_frames:
+                coldres.update(
+                    cold_sweep(
+                        direct_frames, "detect/track-cold", chunk=self.chunk
+                    )
+                )
+            with stage("detect/track"):
+                fetched = tuple(np.asarray(s) for s in stacked)
             oc, ac, at, bn = fetched
             for w in range(Wmax):
                 rows = np.flatnonzero(act[w])
@@ -712,6 +785,12 @@ class TagDetector:
                 g_acc[f] = ac[w, rows]
                 g_att[f] = at[w, rows]
                 g_ben[f] = bn[w, rows]
+        elif direct_frames:
+            coldres.update(
+                cold_sweep(
+                    direct_frames, "detect/track-cold", chunk=self.chunk
+                )
+            )
 
         # row bookkeeping for the repair re-sweeps below
         row_frames: Dict[int, List[int]] = {}
@@ -725,6 +804,27 @@ class TagDetector:
                     for w, f in enumerate(fl):
                         row_of[f] = r
                         pos_of[f] = w
+
+        # Per-segment EXPECTED tag count, from the bracketing cold
+        # anchors: when the board is partially out of view (TUM-VI-style
+        # sweeps), a frame with 8 visible tags is healthy even though
+        # 8 << n_tags/2 — auditing every such frame cold-detected whole
+        # stretches of the sequence for nothing (measured: 51 trigger
+        # frames / 156 cold frames on the 534-frame bench).  min() of the
+        # two anchor triples is the conservative bound on what a
+        # mid-segment frame should still see; the per-tag novel-failure
+        # audits (below) remain the recall guarantee for attempted tags.
+        seg_expect: Dict[int, int] = {}
+        for si, (pL, pR) in enumerate(segs):
+            cl = max(len(resmap.get(pL + k, {})) for k in range(3))
+            cr = max(len(resmap.get(pR + k, {})) for k in range(3))
+            seg_expect[si] = min(cl, cr)
+
+        def expected_at(f: int) -> int:
+            r = int(row_of[f])
+            if r < 0:
+                return n_tags
+            return seg_expect.get(r // 2, n_tags)
 
         # ---- results + post-hoc audit/repair loop ---------------------
         results: List[Dict[int, np.ndarray]] = [dict() for _ in range(B)]
@@ -791,10 +891,11 @@ class TagDetector:
                         carry, jnp.asarray(a2[w]),
                     )
                     outs.append(out)
-                fetched = tuple(
-                    np.asarray(jnp.stack([o[k] for o in outs]))
-                    for k in range(4)
+                stacked2 = tuple(
+                    jnp.stack([o[k] for o in outs]) for k in range(4)
                 )
+                _async_fetch(stacked2)
+                fetched = tuple(np.asarray(s) for s in stacked2)
             oc, ac, at, bn = fetched
             for w in range(W2):
                 rows = np.flatnonzero(a2[w])
@@ -834,10 +935,15 @@ class TagDetector:
                 # after the repair rounds (auditing them per-round cost a
                 # ~0.5 s link-bound sweep each; their recall does not
                 # feed any carry, so nothing downstream depends on them)
-                if (
-                    len(novel) >= 3
-                    or acc_n < max(MIN_TRACK_TAGS, n_tags // 2)
-                ):
+                # slack 4: a frame 1-3 tags under the anchor expectation
+                # with <3 novel hard failures is a light suspect (single
+                # batched sweep below) — auditing it per-round cost a
+                # serial ~200 ms cold group per FRAME for persistent
+                # single-tag flickers
+                thr = max(
+                    MIN_TRACK_TAGS, min(n_tags // 2, expected_at(f) - 4)
+                )
+                if len(novel) >= 3 or acc_n < thr:
                     heavy.append(f)
             if not heavy:
                 break
@@ -849,8 +955,12 @@ class TagDetector:
             # failure (an oblique/rim stretch where decode struggles),
             # the row's remaining frames go straight to cold in this
             # round — repair-and-resweep would just re-fail.
-            if rounds > 12:
-                lead = heavy  # safety valve: audit everything left
+            if rounds > 2:
+                # the lead-per-row policy pays off only while re-sweeps
+                # resolve downstream suspects wholesale; after two rounds
+                # whatever remains is flicker — audit it all in ONE
+                # batched sweep instead of one frame per round
+                lead = heavy
                 no_resweep = set(range(-1, 2 * len(segs)))
             else:
                 seen_rows: Dict[int, bool] = {}
@@ -864,9 +974,13 @@ class TagDetector:
                         seen_rows[r] = True
                         lead.append(f)
                         novel_n = len(fails_at(f) - st["known_bad"].keys())
+                        row_thr = max(
+                            MIN_TRACK_TAGS,
+                            min(n_tags // 2, expected_at(f) - 2),
+                        )
                         if (
                             novel_n >= n_tags // 4
-                            or int(g_acc[f].sum()) < n_tags // 2
+                            or int(g_acc[f].sum()) < row_thr
                         ):
                             no_resweep.add(r)
                             lead.extend(

@@ -41,10 +41,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .decode import _decode_core, unsharp
+from .decode import _decode_core_dense
 from .families import TagFamily
-from .patches import extract_patches
-from .refine import refine_patches_2stage
+from .sample import build_klt_maps, refine_corners_mm, unsharp_mm
 
 #: id-match acceptance allows a relaxed budget, like assist.ASSIST_EXTRA_HAMMING
 TRACK_EXTRA_HAMMING = 2
@@ -69,6 +68,50 @@ BENIGN_MAX_DISP = 3.0
 #: own last position is far more accurate than homography EXTRAPOLATION,
 #: which degrades at the fisheye rim exactly where those tags live.
 MAX_COAST = 8
+
+
+def _cholesky_solve8(M, rhs):
+    """Batched 8x8 SPD solve, fully unrolled over the matrix indices.
+
+    ``jnp.linalg.cholesky`` on (Q, 8, 8) batches dispatches Q tiny LA
+    kernels — measured ~15 us EACH on the TPU backend (38.7 ms for the
+    wave predictor's 2592 fits).  Unrolling the 8x8 Cholesky +
+    forward/back substitution into static Python loops turns it into a
+    few hundred (Q,)-vectorized VPU ops instead.
+    """
+    n = 8
+    L = [[None] * n for _ in range(n)]
+    bad = jnp.zeros(M.shape[:-2], bool)
+    for j in range(n):
+        s = M[:, j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        # preserve jnp.linalg.cholesky's contract: a non-PD pivot must
+        # poison the result (callers mask predictions on isfinite; a
+        # finite-but-wrong solve would instead feed garbage quads to the
+        # tracker and trigger mass cold audits)
+        bad = bad | (s <= 0.0)
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = M[:, i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    y = [None] * n
+    for i in range(n):
+        s = rhs[:, i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    out = jnp.stack(x, axis=1)
+    return jnp.where(bad[:, None], jnp.nan, out)
 
 
 def _fit_h_batch(src, dst):
@@ -97,12 +140,7 @@ def _fit_h_batch(src, dst):
     b = d.reshape(Q, -1)  # rows interleave (x_i, y_i) matching A
     M = jnp.einsum("qij,qik->qjk", A, A) + 1e-6 * jnp.eye(8, dtype=src.dtype)
     rhs = jnp.einsum("qij,qi->qj", A, b)
-
-    def solve_one(Mq, rq):
-        L = jnp.linalg.cholesky(Mq)
-        return jax.scipy.linalg.cho_solve((L, True), rq)
-
-    h = jax.vmap(solve_one)(M, rhs)  # (Q, 8)
+    h = _cholesky_solve8(M, rhs)  # (Q, 8)
     Hn = jnp.concatenate(
         [h, jnp.ones((Q, 1), dtype=src.dtype)], axis=1
     ).reshape(Q, 3, 3)
@@ -226,24 +264,19 @@ def wave_advance(family: TagFamily, images, board_xy, first_id,
     )
     attempt = attempt & row_active[:, None]
 
-    # one fused refine+decode over all R x n_tags predicted quads
-    corners = pred_t.reshape(-1, 2)
-    cframe = jnp.repeat(jnp.arange(R, dtype=jnp.int32), n_tags * 4)
-    patches, local, offset = extract_patches(imgs, corners, cframe)
-    quads = (refine_patches_2stage(patches, local) + offset).reshape(
-        R, n_tags, 4, 2
-    )
-    sharp = unsharp(imgs)
-    dec = _decode_core(
-        family, sharp,
-        quads.reshape(-1, 4, 2),
-        jnp.repeat(jnp.arange(R, dtype=jnp.int32), n_tags),
-        attempt.reshape(-1),
-    )
-    tag_id = dec["tag_id"].reshape(R, n_tags)
-    hamming = dec["hamming"].reshape(R, n_tags)
-    contrast_ok = dec["contrast_ok"].reshape(R, n_tags)
-    out_c = dec["corners"].reshape(R, n_tags, 4, 2)
+    # one fused refine+decode over all R x n_tags predicted quads — all
+    # sampling as MXU matmuls (sample.py): the KLT maps build once per
+    # wave and serve both this pass and the in-wave assist below
+    maps = build_klt_maps(imgs)
+    quads = refine_corners_mm(
+        maps, pred_t.reshape(R, n_tags * 4, 2)
+    ).reshape(R, n_tags, 4, 2)
+    sharp = unsharp_mm(imgs)
+    dec = _decode_core_dense(family, sharp, quads, attempt)
+    tag_id = dec["tag_id"]
+    hamming = dec["hamming"]
+    contrast_ok = dec["contrast_ok"]
+    out_c = dec["corners"]
 
     id_match = tag_id == exp_id[None, :]
     acc = (
@@ -290,20 +323,13 @@ def wave_advance(family: TagFamily, images, board_xy, first_id,
         & (0.5 * jnp.abs(area2b) >= MIN_QUAD_AREA)
     )
     attempt2 = row_active[:, None] & ~acc & h2_ok & inb2
-    corners2 = ph2_t.reshape(-1, 2)
-    patches2, local2, offset2 = extract_patches(imgs, corners2, cframe)
-    quads2 = (refine_patches_2stage(patches2, local2) + offset2).reshape(
-        R, n_tags, 4, 2
-    )
-    dec2 = _decode_core(
-        family, sharp,
-        quads2.reshape(-1, 4, 2),
-        jnp.repeat(jnp.arange(R, dtype=jnp.int32), n_tags),
-        attempt2.reshape(-1),
-    )
-    id2 = dec2["tag_id"].reshape(R, n_tags) == exp_id[None, :]
-    ham2 = dec2["hamming"].reshape(R, n_tags)
-    out2_c = dec2["corners"].reshape(R, n_tags, 4, 2)
+    quads2 = refine_corners_mm(
+        maps, ph2_t.reshape(R, n_tags * 4, 2)
+    ).reshape(R, n_tags, 4, 2)
+    dec2 = _decode_core_dense(family, sharp, quads2, attempt2)
+    id2 = dec2["tag_id"] == exp_id[None, :]
+    ham2 = dec2["hamming"]
+    out2_c = dec2["corners"]
     # same acceptance as the cold board-assist pass (assist.assist_merge):
     # id match + relaxed hamming, NO contrast gate — the id match is the
     # strong test, and oblique rim tags legitimately run low-contrast.

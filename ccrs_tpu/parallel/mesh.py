@@ -21,7 +21,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..solve import se3
-from ..solve.lm import expand_theta, huber_block_weight
+from ..solve.lm import (
+    cholesky_solve_batched_small,
+    expand_theta,
+    huber_block_weight,
+)
 
 FRAME_AXIS = "frames"
 
@@ -106,9 +110,10 @@ def make_ba_step(
         # empty/padding frames: identity block, zero update
         has_obs = jnp.sum(wt, axis=1) > 0
         Ad = jnp.where(has_obs[:, None, None], Ad, jnp.eye(6, dtype=theta.dtype))
-        La = jax.vmap(jnp.linalg.cholesky)(Ad)
-        Ainv_Bt = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b.T))(La, B)
-        Ainv_g = jax.vmap(lambda L, g: jax.scipy.linalg.cho_solve((L, True), g))(La, g_p)
+        rhs_all = jnp.concatenate([jnp.swapaxes(B, 1, 2), g_p[..., None]], axis=2)
+        sol = cholesky_solve_batched_small(Ad, rhs_all)
+        Ainv_Bt = sol[..., :-1]
+        Ainv_g = sol[..., -1]
 
         corr_local = jnp.einsum("fij,fjk->ik", B, Ainv_Bt)
         rhs_local = -(g_t - jnp.einsum("fik,fi->k", Ainv_Bt, g_p))
@@ -157,7 +162,13 @@ def make_multi_ba_solver(
     with F-axis arrays sharded over the mesh (pad F to a mesh multiple;
     padding frames carry frame_valid = 0).
     """
-    from ..solve.lm import LMOptions, expand_theta, huber_block_weight, huber_cost
+    from ..solve.lm import (
+        LMOptions,
+        cholesky_solve_batched_small,
+        expand_theta,
+        huber_block_weight,
+        huber_cost,
+    )
 
     opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta, rtol=rtol)
 
@@ -264,13 +275,12 @@ def make_multi_ba_solver(
                 )(A)
                 eye6 = jnp.eye(6, dtype=dtype)
                 Ad = jnp.where(frame_valid[:, None, None] > 0, Ad, eye6)
-                La = jax.vmap(jnp.linalg.cholesky)(Ad)
-                Ainv_Bt = jax.vmap(
-                    lambda L, b: jax.scipy.linalg.cho_solve((L, True), b.T)
-                )(La, B)  # (Floc, 6, M)
-                Ainv_g = jax.vmap(
-                    lambda L, g: jax.scipy.linalg.cho_solve((L, True), g)
-                )(La, g_p)
+                rhs_all = jnp.concatenate(
+                    [jnp.swapaxes(B, 1, 2), g_p[..., None]], axis=2
+                )
+                sol = cholesky_solve_batched_small(Ad, rhs_all)
+                Ainv_Bt = sol[..., :-1]  # (Floc, 6, M)
+                Ainv_g = sol[..., -1]
                 corr_l = jnp.einsum("fij,fjk->ik", B, Ainv_Bt)
                 rhs_l = -(g_x - jnp.einsum("fik,fi->k", Ainv_Bt, g_p))
                 # the one collective per iteration: U | Schur corr | rhs | g
@@ -389,7 +399,13 @@ def make_ba_solver(
     sharded over the mesh (pad F to a mesh multiple with pad_frames and
     zero weights).
     """
-    from ..solve.lm import LMOptions, expand_theta, huber_block_weight, huber_cost
+    from ..solve.lm import (
+        LMOptions,
+        cholesky_solve_batched_small,
+        expand_theta,
+        huber_block_weight,
+        huber_cost,
+    )
 
     opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta, rtol=rtol)
 
@@ -446,13 +462,12 @@ def make_ba_solver(
                 )(A)
                 eye6 = jnp.eye(6, dtype=dtype)
                 Ad = jnp.where(frame_valid[:, None, None] > 0, Ad, eye6)
-                La = jax.vmap(jnp.linalg.cholesky)(Ad)
-                Ainv_Bt = jax.vmap(
-                    lambda L, b: jax.scipy.linalg.cho_solve((L, True), b.T)
-                )(La, B)
-                Ainv_g = jax.vmap(
-                    lambda L, g: jax.scipy.linalg.cho_solve((L, True), g)
-                )(La, g_p)
+                rhs_all = jnp.concatenate(
+                    [jnp.swapaxes(B, 1, 2), g_p[..., None]], axis=2
+                )
+                sol = cholesky_solve_batched_small(Ad, rhs_all)
+                Ainv_Bt = sol[..., :-1]
+                Ainv_g = sol[..., -1]
                 corr = jnp.einsum("fij,fjk->ik", B, Ainv_Bt)
                 rhs_l = -(g_t - jnp.einsum("fik,fi->k", Ainv_Bt, g_p))
                 packed = jnp.concatenate([U, corr, rhs_l[None, :]], axis=0)

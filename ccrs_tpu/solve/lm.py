@@ -62,6 +62,55 @@ class LMOptions:
     stall_lam: float = 1e2
 
 
+def cholesky_solve_batched_small(M, rhs):
+    """Batched SPD solve for SMALL fixed n, unrolled over matrix indices.
+
+    M (..., n, n), rhs (..., n) or (..., n, m) -> solution of M x = rhs.
+
+    ``jax.vmap(jnp.linalg.cholesky)`` dispatches one tiny LA kernel per
+    batch element (~15 us EACH on the TPU backend — 534 frames x 3 calls
+    per LM iteration dominated the BA stage), and the cost multiplies
+    under emulated f64.  Unrolling the n<=9 Cholesky + substitutions into
+    static Python loops yields a few hundred batch-vectorized VPU ops
+    instead.  Non-PD pivots poison their batch element with NaN,
+    preserving jnp.linalg.cholesky's contract (LM rejects such steps via
+    its isfinite guard).
+    """
+    n = M.shape[-1]
+    vec = rhs.ndim == M.ndim - 1
+    if vec:
+        rhs = rhs[..., None]
+    L = [[None] * n for _ in range(n)]
+    bad = jnp.zeros(M.shape[:-2], bool)
+    for j in range(n):
+        s = M[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        bad = bad | (s <= 0.0)
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-300))
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = M[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    y = [None] * n
+    for i in range(n):
+        s = rhs[..., i, :]
+        for k in range(i):
+            s = s - L[i][k][..., None] * y[k]
+        y[i] = s / L[i][i][..., None]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i][..., None] * x[k]
+        x[i] = s / L[i][i][..., None]
+    out = jnp.stack(x, axis=-2)
+    out = jnp.where(bad[..., None, None], jnp.nan, out)
+    return out[..., 0] if vec else out
+
+
 def huber_block_weight(r2, delta):
     """IRLS weight for a residual block with squared norm r2.
 
@@ -283,13 +332,13 @@ def ba_solve(
             # guard empty frames: make their block identity (step forced 0)
             eye6 = jnp.eye(6, dtype=dtype)
             Ad = jnp.where(frame_valid[:, None, None] > 0, Ad, eye6)
-            La = jax.vmap(jnp.linalg.cholesky)(Ad)  # (F,6,6)
-            Ainv_Bt = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b.T))(
-                La, B
-            )  # (F,6,k)
-            Ainv_g = jax.vmap(lambda L, g: jax.scipy.linalg.cho_solve((L, True), g))(
-                La, g_p
-            )  # (F,6)
+            # one unrolled 6x6 solve with k+1 stacked RHS columns
+            rhs_all = jnp.concatenate(
+                [jnp.swapaxes(B, 1, 2), g_p[..., None]], axis=2
+            )  # (F,6,k+1)
+            sol = cholesky_solve_batched_small(Ad, rhs_all)
+            Ainv_Bt = sol[..., :-1]  # (F,6,k)
+            Ainv_g = sol[..., -1]  # (F,6)
             S = Ud - jnp.einsum("fij,fjk->ik", B, Ainv_Bt)  # (k,k)
             rhs = -(g_t - jnp.einsum("fik,fi->k", Ainv_Bt, g_p))
             Ls = jnp.linalg.cholesky(S)
@@ -516,13 +565,12 @@ def ba_solve_multi(
             )(A)
             eye6 = jnp.eye(6, dtype=dtype)
             Ad = jnp.where(frame_valid[:, None, None] > 0, Ad, eye6)
-            La = jax.vmap(jnp.linalg.cholesky)(Ad)
-            Ainv_Bt = jax.vmap(
-                lambda L, b: jax.scipy.linalg.cho_solve((L, True), b.T)
-            )(La, B)  # (F,6,M)
-            Ainv_g = jax.vmap(lambda L, g: jax.scipy.linalg.cho_solve((L, True), g))(
-                La, g_p
+            rhs_all = jnp.concatenate(
+                [jnp.swapaxes(B, 1, 2), g_p[..., None]], axis=2
             )
+            sol = cholesky_solve_batched_small(Ad, rhs_all)
+            Ainv_Bt = sol[..., :-1]  # (F,6,M)
+            Ainv_g = sol[..., -1]
             S = Ud - jnp.einsum("fij,fjk->ik", B, Ainv_Bt)
             rhs = -(g_x - jnp.einsum("fik,fi->k", Ainv_Bt, g_p))
             # Jacobi-scale the reduced solve: parameter magnitudes span
