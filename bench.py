@@ -71,16 +71,28 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     )
 
     print(f"[{size}] rendering {n_frames} frames...", file=sys.stderr)
+    t_start = time.perf_counter()
     detector = TagDetector("t36h11")
     # overlap the detect-graph loads/compiles with the render: the prewarm
     # thread blocks on remote RPCs (GIL released) while the device renders
     from threading import Thread
+
+    from ccrs_tpu.calib.prewarm import prewarm_calibration
 
     warm_thread = Thread(
         target=lambda: detector.prewarm(size, size, board, n_frames=n_frames),
         daemon=True,
     )
     warm_thread.start()
+    # calib graphs (fused init + full-batch BA) load on their own thread:
+    # remote loads are link/server-bound, so the two threads' RPCs overlap
+    calib_thread = Thread(
+        target=lambda: prewarm_calibration(
+            board, n_frames, "eucm", CalibParams(), size, size
+        ),
+        daemon=True,
+    )
+    calib_thread.start()
     # continuous handheld-video trajectory — the regime of the reference's
     # own acceptance dataset (TUM-VI calib video); see smooth_sequence_poses
     poses = smooth_sequence_poses(n_frames, board, seed=11)
@@ -106,7 +118,14 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
 
     if dev_imgs is None:
         imgs = render_host()
+    t_render = time.perf_counter()
     warm_thread.join()
+    calib_thread.join()
+    print(
+        f"[{size}] render+prewarm: render done +{t_render - t_start:.1f}s, "
+        f"prewarm joined +{time.perf_counter() - t_start:.1f}s",
+        file=sys.stderr,
+    )
     times = list(range(n_frames))
 
     def pipeline(key):

@@ -107,9 +107,33 @@ def load_feature_data(args, detector, board, recorder) -> List[FrameBatch]:
     print("Start loading images and detecting charts.")
     t0 = time.perf_counter()
     loader = load_euroc if args.dataset_format == "euroc" else load_general
+
+    def prewarm_cb(width, height, n_frames):
+        # overlap detector + calibration graph loads with image decoding
+        # (remote-TPU graphs pay a per-executable load on first use); safe
+        # no-op on CPU where compiles are cheap anyway
+        from .calib.prewarm import prewarm_calibration
+
+        try:
+            detector.prewarm(height, width, board)
+            prewarm_calibration(
+                board,
+                min(n_frames, args.max_images),
+                args.model,
+                CalibParams(
+                    fixed_focal=args.fixed_focal,
+                    disabled_distortion_num=args.disabled_distortion_num,
+                    one_focal=args.one_focal,
+                ),
+                width,
+                height,
+            )
+        except Exception:  # pragma: no cover - warmup must never kill a run
+            log.exception("prewarm failed (continuing; first solve pays loads)")
+
     batches = loader(
         args.path, detector, board, args.start_idx, args.step, args.cam_num,
-        recorder, cache_dir=args.detection_cache,
+        recorder, cache_dir=args.detection_cache, prewarm_cb=prewarm_cb,
     )
     dt = time.perf_counter() - t0
     print(f"detecting feature took {dt:.6f} sec")

@@ -69,9 +69,16 @@ def _detect_sequence(
     board: Board,
     recorder=None,
     cam_idx: int = 0,
+    prewarm_cb=None,
 ) -> FrameBatch:
     """Decode + detect a whole sequence, overlapping host IO with device
-    detection; returns a timestamp-sorted FrameBatch."""
+    detection; returns a timestamp-sorted FrameBatch.
+
+    ``prewarm_cb(width, height, n_frames)``, when given, runs ONCE on a
+    background thread as soon as the first image reveals the frame size —
+    the CLI uses it to overlap detector + calibration graph loads with
+    image decoding (each remote-TPU graph pays a load on first use).
+    """
     if not paths:
         return FrameBatch(
             np.zeros(0, np.int64), np.zeros((0, board.n_corners, 2)),
@@ -114,6 +121,14 @@ def _detect_sequence(
             img = fut.result()
             if width is None:
                 height, width = img.shape[:2]
+                if prewarm_cb is not None:
+                    from threading import Thread
+
+                    Thread(
+                        target=prewarm_cb,
+                        args=(width, height, len(paths)),
+                        daemon=True,
+                    ).start()
             chunk_imgs.append(img)
             chunk_meta.append((t_ns, img))
             if len(chunk_imgs) >= DETECT_BATCH:
@@ -141,14 +156,17 @@ def _cache_path(cache_dir, cam_idx, paths, detector, board):
     return os.path.join(cache_dir, f"cam{cam_idx}_{h.hexdigest()[:16]}.npz")
 
 
-def _detect_or_load(paths, times, detector, board, recorder, cam_idx, cache_dir):
+def _detect_or_load(paths, times, detector, board, recorder, cam_idx, cache_dir,
+                    prewarm_cb=None):
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         cpath = _cache_path(cache_dir, cam_idx, paths, detector, board)
         if os.path.exists(cpath):
             log.info("cam%d: loading cached detections from %s", cam_idx, cpath)
             return FrameBatch.load(cpath)
-    batch = _detect_sequence(paths, times, detector, board, recorder, cam_idx)
+    batch = _detect_sequence(
+        paths, times, detector, board, recorder, cam_idx, prewarm_cb
+    )
     if cache_dir:
         batch.save(cpath)
     return batch
@@ -163,6 +181,7 @@ def load_euroc(
     cam_num: int = 1,
     recorder=None,
     cache_dir: str = None,
+    prewarm_cb=None,
 ) -> List[FrameBatch]:
     """EuRoC layout: {root}/mav0/cam{i}/data/* (``src/data_loader.rs:95``)."""
     out = []
@@ -172,7 +191,10 @@ def load_euroc(
             os.path.join(root, "mav0", f"cam{cam_idx}", "data", "*"), start_idx, step
         )
         times = [_path_timestamp(p) for p in paths]
-        batch = _detect_or_load(paths, times, detector, board, recorder, cam_idx, cache_dir)
+        batch = _detect_or_load(
+            paths, times, detector, board, recorder, cam_idx, cache_dir,
+            prewarm_cb if cam_idx == 0 else None,
+        )
         log.info(
             "cam%d: %d images, %d usable frames, %.3fs",
             cam_idx, len(paths), int(batch.frame_ok().sum()), time.perf_counter() - t0,
@@ -190,6 +212,7 @@ def load_general(
     cam_num: int = 1,
     recorder=None,
     cache_dir: str = None,
+    prewarm_cb=None,
 ) -> List[FrameBatch]:
     """General layout: {root}/**/cam{i}/**/* with synthetic timestamps
     idx * 1e8 ns (``src/data_loader.rs:160-214``)."""
@@ -200,6 +223,9 @@ def load_general(
         )
         times = [i * 100_000_000 for i in range(len(paths))]
         out.append(
-            _detect_or_load(paths, times, detector, board, recorder, cam_idx, cache_dir)
+            _detect_or_load(
+                paths, times, detector, board, recorder, cam_idx, cache_dir,
+                prewarm_cb if cam_idx == 0 else None,
+            )
         )
     return out

@@ -430,9 +430,11 @@ class TagDetector:
         fused refine+decode -> board-assist recovery, pipelined in three
         phases across fixed-size chunks (see the class docstring).
 
-        ``chunk`` overrides the pipeline chunk size (the tracking mode
-        audits in small ``cold_chunk`` groups so a handful of suspect
-        frames never pays a 64-frame graph).
+        ``chunk`` forces a single chunk size; by default the batch is
+        covered by a MIXED plan of ``self.chunk``-sized chunks plus
+        ``cold_chunk``-sized tail chunks (both shapes are precompiled), so
+        a 534-frame batch pads to 536 frames of real work instead of 576 —
+        padding frames pay full link + host-CCL cost, so the plan matters.
         """
         B, H, W = dev_all.shape
 
@@ -440,20 +442,32 @@ class TagDetector:
         # the packed-bitmap downloads of chunk i overlap the device work of
         # chunks i+1...
         #
-        # On accelerators the chunk shape is FIXED at self.chunk even for
-        # small batches (padding with repeated frames): every distinct
-        # shape costs a 30-90 s remote compile, so a 24-image dataset must
-        # reuse the same graphs as a 600-image one.  On CPU (tests,
-        # notebooks) compiles are cheap and small batches keep their
-        # natural size.
+        # On accelerators chunk shapes come from the FIXED two-size set
+        # {self.chunk, self.cold_chunk} even for small batches (padding
+        # with repeated frames): every distinct shape costs a 30-90 s
+        # remote compile, so a 24-image dataset must reuse the same graphs
+        # as a 600-image one.  On CPU (tests, notebooks) compiles are
+        # cheap and small batches keep their natural size.
         import jax
 
-        base = chunk if chunk is not None else self.chunk
         if jax.default_backend() == "cpu":
-            C = min(base, B)
+            base = chunk if chunk is not None else self.chunk
+            sizes = []
+            rem = B
+            while rem > 0:
+                sizes.append(min(base, rem))
+                rem -= sizes[-1]
+        elif chunk is not None:
+            sizes = [chunk] * ((B + chunk - 1) // chunk)
         else:
-            C = base
-        n_chunks = (B + C - 1) // C
+            small = min(self.cold_chunk, self.chunk)
+            sizes = [self.chunk] * (B // self.chunk)
+            rem = B - self.chunk * len(sizes)
+            sizes += [small] * ((rem + small - 1) // small)
+            if not sizes:
+                sizes = [small]
+        offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+        n_chunks = len(sizes)
 
         # Large-image fast path: the pixel-proportional candidate stages
         # (adaptive threshold, bitmap download, native CCL/contour quad
@@ -468,7 +482,7 @@ class TagDetector:
         sH, sW = H // scale, W // scale
         dev_chunks, packed_chunks = [], []
         for ci in range(n_chunks):
-            lo = ci * C
+            lo, C = int(offsets[ci]), sizes[ci]
             part = dev_all[lo : lo + C]
             if part.shape[0] < C:  # pad final chunk to keep shapes static
                 reps = jnp.repeat(part[-1:], C - part.shape[0], axis=0)
@@ -506,7 +520,7 @@ class TagDetector:
         assist_pending = []
         for ci in range(n_chunks):
             out = pending[ci]
-            nb = min(C, B - ci * C)
+            nb = min(sizes[ci], B - int(offsets[ci]))
             with stage("detect/decode"):
                 chunk_results = self._collect_results(out, nb)
             all_chunk_results.append(chunk_results)
@@ -605,24 +619,24 @@ class TagDetector:
                       "trigger_frames": 0, "waves": 0}
         g0 = st["frame_idx"]
 
-        def cold_sweep(frames: List[int], tag: str, chunk: int | None = None):
+        def cold_sweep(frames: List[int], tag: str):
             """Cold-detect absolute frame indices (batched, pipelined).
 
             The frame list is padded (last frame repeated) to a multiple
-            of the chunk so the device gather and the cold pipeline only
-            ever see a small reusable set of shapes — every novel shape
-            costs a remote compile on this backend.  Large sweeps (the
-            anchor pass) use the full pipeline chunk: small groups are
-            link-latency-bound at ~3 round trips each."""
-            G = chunk or self.cold_chunk
+            of ``cold_chunk`` and covered by the mixed 64+8 chunk plan of
+            ``_detect_batch_cold`` — the pipeline only ever sees its two
+            precompiled shapes, and a 102-frame anchor sweep pays 104
+            frames of work instead of 128 (padding frames cost full link
+            + host-CCL time)."""
+            G = self.cold_chunk
             padded = frames + [frames[-1]] * (-len(frames) % G)
             with stage(tag):
                 sub = jnp.take(
                     dev_all, jnp.asarray(np.asarray(padded, np.int32)), axis=0
                 )
-                res = self._detect_batch_cold(sub, board, chunk=G)
+                res = self._detect_batch_cold(sub, board)
             self.stats["cold_frames"] += len(frames)
-            self.stats["cold_groups"] += len(padded) // G
+            self.stats["cold_groups"] += 1
             return dict(zip(frames, res))
 
         if B < 4:
@@ -663,10 +677,7 @@ class TagDetector:
         anchor_frames = sorted(
             {f for q in starts for f in (q, q + 1, q + 2)}
         )
-        coldres = cold_sweep(
-            anchor_frames, "detect/track-cold",
-            chunk=self.chunk if len(anchor_frames) >= self.chunk else None,
-        )
+        coldres = cold_sweep(anchor_frames, "detect/track-cold")
         resmap: Dict[int, Dict[int, np.ndarray]] = dict(coldres)
         if virtual is not None:
             resmap[-3], resmap[-2], resmap[-1] = virtual
@@ -771,9 +782,7 @@ class TagDetector:
                 _async_fetch(stacked)
             if direct_frames:
                 coldres.update(
-                    cold_sweep(
-                        direct_frames, "detect/track-cold", chunk=self.chunk
-                    )
+                    cold_sweep(direct_frames, "detect/track-cold")
                 )
             with stage("detect/track"):
                 fetched = tuple(np.asarray(s) for s in stacked)
@@ -787,9 +796,7 @@ class TagDetector:
                 g_ben[f] = bn[w, rows]
         elif direct_frames:
             coldres.update(
-                cold_sweep(
-                    direct_frames, "detect/track-cold", chunk=self.chunk
-                )
+                cold_sweep(direct_frames, "detect/track-cold")
             )
 
         # row bookkeeping for the repair re-sweeps below
@@ -993,12 +1000,7 @@ class TagDetector:
                 self.stats.setdefault("trigger_log", []).append(
                     (f, sorted(fails_at(f) - st["known_bad"].keys()))
                 )
-            coldres.update(
-                cold_sweep(
-                    lead, "detect/track-audit",
-                    chunk=self.chunk if len(lead) >= 24 else None,
-                )
-            )
+            coldres.update(cold_sweep(lead, "detect/track-audit"))
             improved: List[int] = []
             for f in lead:
                 added = any(t not in results[f] for t in coldres[f])
@@ -1040,12 +1042,7 @@ class TagDetector:
                 self.stats.setdefault("trigger_log", []).append(
                     (f, sorted(fails_at(f) - st["known_bad"].keys()))
                 )
-            coldres.update(
-                cold_sweep(
-                    light, "detect/track-audit",
-                    chunk=self.chunk if len(light) >= 24 else None,
-                )
-            )
+            coldres.update(cold_sweep(light, "detect/track-audit"))
             for f in light:
                 for t in fails_at(f):
                     if (t + first) not in coldres[f]:

@@ -414,7 +414,17 @@ def _main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--cam-num", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--platform",
+        default="auto",
+        choices=["auto", "cpu", "tpu"],
+        help="JAX backend to render on (auto = environment default)",
+    )
     args = ap.parse_args()
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     model = GenericModel(
         "eucm", [190.9, 190.87, 254.94, 256.86, 0.628, 1.046], 512, 512
     )
