@@ -177,9 +177,15 @@ class TagDetector:
         if track is None:
             track = os.environ.get("CCRS_TRACK", "1") != "0"
         self.track = track
-        # force a cold (full-pipeline) frame at least this often, bounding
-        # the staleness of the tracking fallback policy's occlusion memory
-        self.cold_every = int(os.environ.get("CCRS_TRACK_COLD_EVERY", "16"))
+        # anchor-triple cadence: force cold (full-pipeline) frames at least
+        # this often, bounding the staleness of the tracking fallback
+        # policy's occlusion memory.  Measured on the 534-frame bench
+        # sequence (CPU twin): K=32 cuts cold frames 185 -> 142 with
+        # triggers flat (28 -> 30) and slightly BETTER recall (+116
+        # (frame,tag) pairs — tracked frames beat cold recall on rim
+        # tags); K=48 backfires (long segments straddle sparse regions and
+        # fall to cold-direct wholesale: 188 cold frames).
+        self.cold_every = int(os.environ.get("CCRS_TRACK_COLD_EVERY", "32"))
         # cold-fallback group size: a small dedicated graph shape so
         # correcting a few frames never pays a full-chunk threshold/CCL
         self.cold_chunk = int(os.environ.get("CCRS_TRACK_COLD_CHUNK", "8"))
