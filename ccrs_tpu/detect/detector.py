@@ -105,6 +105,32 @@ def _expand_quads(quads, px):
     return quads + d / np.maximum(n, 1e-6) * px
 
 
+def _chunk_plan(B: int, chunk: int, small: int, cpu: bool,
+                forced: int | None = None) -> list:
+    """Chunk-size cover of a B-frame batch (see _detect_batch_cold).
+
+    CPU: natural sizes (compiles are cheap).  Accelerators: ``forced``
+    repeats one size; otherwise a mixed plan of ``chunk``-sized pieces
+    plus ``small``-sized tail pieces — both shapes precompiled — so
+    padding waste is bounded by ``small - 1`` frames instead of
+    ``chunk - 1`` (padding frames pay full link + host-CCL cost)."""
+    if cpu:
+        sizes = []
+        base = forced if forced is not None else chunk
+        rem = B
+        while rem > 0:
+            sizes.append(min(base, rem))
+            rem -= sizes[-1]
+        return sizes
+    if forced is not None:
+        return [forced] * ((B + forced - 1) // forced)
+    small = min(small, chunk)
+    sizes = [chunk] * (B // chunk)
+    rem = B - chunk * len(sizes)
+    sizes += [small] * ((rem + small - 1) // small)
+    return sizes or [small]
+
+
 def _dedup_levels(q1, c1, q2, c2, max_quads):
     """Merge the two erosion levels' quads, dropping level-2 quads whose
     center falls within 0.7x an existing level-1 quad's mean radius
@@ -455,23 +481,12 @@ class TagDetector:
         # as a 600-image one.  On CPU (tests, notebooks) compiles are
         # cheap and small batches keep their natural size.
         import jax
+        import os
 
-        if jax.default_backend() == "cpu":
-            base = chunk if chunk is not None else self.chunk
-            sizes = []
-            rem = B
-            while rem > 0:
-                sizes.append(min(base, rem))
-                rem -= sizes[-1]
-        elif chunk is not None:
-            sizes = [chunk] * ((B + chunk - 1) // chunk)
-        else:
-            small = min(self.cold_chunk, self.chunk)
-            sizes = [self.chunk] * (B // self.chunk)
-            rem = B - self.chunk * len(sizes)
-            sizes += [small] * ((rem + small - 1) // small)
-            if not sizes:
-                sizes = [small]
+        cpu = jax.default_backend() == "cpu" and not os.environ.get(
+            "CCRS_FORCE_CHUNK_PLAN"
+        )
+        sizes = _chunk_plan(B, self.chunk, self.cold_chunk, cpu, chunk)
         offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
         n_chunks = len(sizes)
 

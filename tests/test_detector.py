@@ -288,3 +288,44 @@ def test_fixed_chunk_padding_matches_natural(synth_view, monkeypatch):
     assert set(padded[0]) == set(ref[0])
     for tid in ref[0]:
         np.testing.assert_allclose(padded[0][tid], ref[0][tid], atol=1e-5)
+
+
+def test_chunk_plan():
+    from ccrs_tpu.detect.detector import _chunk_plan
+
+    # accelerator: mixed 64+8 plan bounds padding waste by small-1
+    assert _chunk_plan(534, 64, 8, cpu=False) == [64] * 8 + [8] * 3
+    assert _chunk_plan(102, 64, 8, cpu=False) == [64] + [8] * 5
+    assert _chunk_plan(64, 64, 8, cpu=False) == [64]
+    assert _chunk_plan(5, 64, 8, cpu=False) == [8]
+    assert _chunk_plan(0, 64, 8, cpu=False) == [8]
+    # forced single size (legacy cold_chunk sweeps)
+    assert _chunk_plan(21, 64, 8, cpu=False, forced=8) == [8] * 3
+    # cpu: natural sizes
+    assert _chunk_plan(21, 64, 8, cpu=True) == [21]
+    assert sum(_chunk_plan(130, 64, 8, cpu=True)) == 130
+
+
+def test_mixed_chunk_plan_matches_natural(synth_view, monkeypatch):
+    """A batch covered by heterogeneous chunk sizes (16 + 4 + 4 with
+    repeat-padding) must produce identical detections to the natural
+    whole-batch path."""
+    img, p2d, vis = synth_view
+    imgs = np.stack([np.asarray(img)] * 5)
+    det_nat = TagDetector("t36h11", track=False)
+    ref = det_nat.detect_batch(imgs)
+
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    det_mix = TagDetector("t36h11", track=False)
+    det_mix.chunk = 4
+    det_mix.cold_chunk = 2
+    out = det_mix.detect_batch(imgs)  # plan: [4, 2] covering 5 -> pad 6
+    assert len(out) == 5
+    for r, o in zip(ref, out):
+        assert set(o) == set(r)
+        for tid in r:
+            # sub-millipixel: chunk shape changes XLA fusion order and the
+            # iterative refine amplifies the reassociation noise slightly
+            np.testing.assert_allclose(o[tid], r[tid], atol=5e-3)
