@@ -249,7 +249,10 @@ def reduce_params(params, one_focal: bool):
 
 @partial(
     jax.jit,
-    static_argnames=("project_fn", "one_focal", "max_iters", "huber_delta", "rtol"),
+    static_argnames=(
+        "project_fn", "one_focal", "max_iters", "huber_delta", "rtol",
+        "jac_f32",
+    ),
 )
 def ba_solve(
     project_fn,
@@ -266,6 +269,7 @@ def ba_solve(
     max_iters: int = 60,
     huber_delta: float = 1.0,
     rtol: float = 1e-14,
+    jac_f32: bool = False,
 ):
     """Single-camera BA: intrinsics + per-frame board poses.
 
@@ -281,6 +285,14 @@ def ba_solve(
         (reference skips frames with <10 valid pose-init points,
         src/util.rs:431).
       one_focal / max_iters / huber_delta: static options.
+      jac_f32: evaluate the JACOBIANS in f32 (residuals, costs and the
+        accept/convergence logic stay in the caller's dtype).  Gauss-
+        Newton with an approximate J converges to the fixed point of
+        J~tWr = 0; a 1e-7-relative J error shifts the optimum by O(1e-7)
+        in parameters and only SECOND order (~1e-14 px) in RMS — far
+        inside the 1e-6 px interchange gate — while skipping the ~10x
+        cost of emulated-f64 jacfwd on TPU.  Validated against the full
+        f64 polish on the 534-frame bench problem (test_lm.py).
 
     Replaces the reference's calib_camera solve (src/util.rs:384-490): the
     factor graph with F*N ReprojectionFactors becomes one fixed-shape
@@ -292,6 +304,11 @@ def ba_solve(
     dtype = theta0.dtype
     w = w * frame_valid[:, None]
     opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta, rtol=rtol)
+    jac_f32 = jac_f32 and dtype != jnp.float32
+    if jac_f32:
+        f32 = jnp.float32
+        p3d32 = p3d.astype(f32)
+        p2d32 = p2d.astype(f32)
 
     def frame_residual(theta, pose, p2d_f):
         params = expand_theta(theta, one_focal)
@@ -304,17 +321,32 @@ def ba_solve(
         r2 = jnp.sum(r * r, axis=-1)
         return jnp.sum(w * huber_cost(r2, huber_delta))
 
-    def frame_jacobians(theta, pose, p2d_f):
+    def frame_jacobians(theta, pose, p2d_f, p2d_f32):
         def rfun(th, po):
             return frame_residual(th, po, p2d_f)
 
-        Jt, Jp = jax.jacfwd(rfun, argnums=(0, 1))(theta, pose)
+        if jac_f32:
+            def rfun32(th, po):
+                params = expand_theta(th, one_focal)
+                pc = se3.transform(po[:3], po[3:], p3d32)
+                proj, _ = project_fn(params, pc)
+                return proj - p2d_f32
+
+            Jt, Jp = jax.jacfwd(rfun32, argnums=(0, 1))(
+                theta.astype(f32), pose.astype(f32)
+            )
+            Jt = Jt.astype(dtype)
+            Jp = Jp.astype(dtype)
+        else:
+            Jt, Jp = jax.jacfwd(rfun, argnums=(0, 1))(theta, pose)
         r = rfun(theta, pose)
         return r, Jt, Jp  # (N,2), (N,2,k), (N,2,6)
 
     def body(state):
         theta, poses, lam, cost, it, done, rej, acc_any = state
-        r, Jt, Jp = jax.vmap(frame_jacobians, in_axes=(None, 0, 0))(theta, poses, p2d)
+        r, Jt, Jp = jax.vmap(frame_jacobians, in_axes=(None, 0, 0, 0))(
+            theta, poses, p2d, p2d32 if jac_f32 else p2d
+        )
         Jt = Jt * free[None, None, None, :]
         r2 = jnp.sum(r * r, axis=-1)
         wt = w * huber_block_weight(r2, huber_delta)  # (F,N)
@@ -402,13 +434,20 @@ def ba_solve_mixed(
     max_iters: int = 60,
     huber_delta: float = 1.0,
     polish_iters: int = 12,
+    polish_jac_f32: bool = True,
 ) -> BAResult:
     """Two-stage mixed-precision single-camera BA (same rationale as
     ba_solve_multi_mixed: TPU f64 is double-float emulation, ~10x the
     FLOPs of native f32, and LM only needs full precision near the
     optimum).  Stage 1 runs the bulk descent in native f32 (rtol=1e-6 —
-    the f32 cost plateau); stage 2 polishes in the caller's dtype.
-    Traceable, so it inlines into the caller's jit graph."""
+    the f32 cost plateau); stage 2 polishes in the caller's dtype with
+    f32 JACOBIANS by default (residual/cost/accept stay f64 — see
+    ba_solve's jac_f32 note; CCRS_POLISH_JAC32=0 restores full-f64
+    polish).  Traceable, so it inlines into the caller's jit graph."""
+    import os
+
+    if os.environ.get("CCRS_POLISH_JAC32", "") == "0":
+        polish_jac_f32 = False
     f32 = jnp.float32
     a32 = [
         jnp.asarray(a, f32)
@@ -423,6 +462,7 @@ def ba_solve_mixed(
         project_fn, jnp.asarray(s1.theta, dt), jnp.asarray(s1.poses, dt),
         p3d, p2d, w, lo, hi, free, frame_valid,
         one_focal=one_focal, max_iters=polish_iters, huber_delta=huber_delta,
+        jac_f32=polish_jac_f32,
     )
     return BAResult(s2.theta, s2.poses, s2.cost, s1.n_iters + s2.n_iters)
 
@@ -442,7 +482,10 @@ class MultiBAResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("project_fn", "one_focal", "max_iters", "huber_delta", "rtol"),
+    static_argnames=(
+        "project_fn", "one_focal", "max_iters", "huber_delta", "rtol",
+        "jac_f32",
+    ),
 )
 def ba_solve_multi(
     project_fn,
@@ -461,6 +504,7 @@ def ba_solve_multi(
     max_iters: int = 60,
     huber_delta: float = 1.0,
     rtol: float = 1e-14,
+    jac_f32: bool = False,
 ):
     """Joint multi-camera BA: per-camera intrinsics + camera extrinsics
     (T_i_0) + shared board poses (T_0_b per frame).
@@ -487,6 +531,12 @@ def ba_solve_multi(
     M = C * k + C * 6
     opts = LMOptions(max_iters=max_iters, huber_delta=huber_delta, rtol=rtol)
     w = w * cam_frame_valid[:, :, None] * frame_valid[None, :, None]
+    # f32 Jacobians (residual/cost stay in dtype) — see ba_solve's jac_f32
+    jac_f32 = jac_f32 and dtype != jnp.float32
+    if jac_f32:
+        f32j = jnp.float32
+        p3d32 = p3d.astype(f32j)
+        p2d32 = p2d.astype(f32j)
 
     # e_0 is pinned to identity; its columns get unit diagonal below
     ext_free = jnp.concatenate(
@@ -526,14 +576,39 @@ def ba_solve_multi(
             def rfun(th, e, po, p2d_cf):
                 return cam_residual(c, th, e, po, p2d_cf)
 
-            def frame_jac(po, p2d_cf):
-                Jt, Je, Jp = jax.jacfwd(rfun, argnums=(0, 1, 2))(
-                    theta[c], ext[c], po, p2d_cf
-                )
-                r = rfun(theta[c], ext[c], po, p2d_cf)
-                return r, Jt, Je, Jp
+            if jac_f32:
+                def rfun32(th, e, po, p2d_cf):
+                    params = expand_theta(th, one_focal)
+                    rv, tv = po[:3], po[3:]
+                    if c == 0:
+                        pc = se3.transform(rv, tv, p3d32)
+                    else:
+                        rvc, tvc = se3.compose(e[:3], e[3:], rv, tv)
+                        pc = se3.transform(rvc, tvc, p3d32)
+                    proj, _ = project_fn(params, pc)
+                    return proj - p2d_cf
 
-            r, Jt, Je, Jp = jax.vmap(frame_jac)(poses, p2d[c])
+                def frame_jac(po, p2d_cf, p2d_cf32):
+                    Jt, Je, Jp = jax.jacfwd(rfun32, argnums=(0, 1, 2))(
+                        theta[c].astype(f32j), ext[c].astype(f32j),
+                        po.astype(f32j), p2d_cf32,
+                    )
+                    r = rfun(theta[c], ext[c], po, p2d_cf)
+                    return (
+                        r, Jt.astype(dtype), Je.astype(dtype),
+                        Jp.astype(dtype),
+                    )
+
+                r, Jt, Je, Jp = jax.vmap(frame_jac)(poses, p2d[c], p2d32[c])
+            else:
+                def frame_jac(po, p2d_cf):
+                    Jt, Je, Jp = jax.jacfwd(rfun, argnums=(0, 1, 2))(
+                        theta[c], ext[c], po, p2d_cf
+                    )
+                    r = rfun(theta[c], ext[c], po, p2d_cf)
+                    return r, Jt, Je, Jp
+
+                r, Jt, Je, Jp = jax.vmap(frame_jac)(poses, p2d[c])
             Jt = Jt * free[c][None, None, None, :]
             Je = Je * ext_free[c][None, None, None, :]
             r2 = jnp.sum(r * r, axis=-1)
@@ -655,6 +730,7 @@ def ba_solve_multi_mixed(
     max_iters: int = 60,
     huber_delta: float = 1.0,
     polish_iters: int = 10,
+    polish_jac_f32: bool = True,
 ) -> MultiBAResult:
     """Two-stage mixed-precision joint BA.
 
@@ -664,8 +740,13 @@ def ba_solve_multi_mixed(
     plateau), stage 2 polishes from the f32 state in f64.  Measured to
     reproduce the pure-f64 solution (identical final cost/params on the
     8-cam rig problem) while replacing most emulated-f64 iterations with
-    native-f32 ones.
+    native-f32 ones.  The polish uses f32 JACOBIANS by default (see
+    ba_solve's jac_f32 note; CCRS_POLISH_JAC32=0 restores full-f64).
     """
+    import os
+
+    if os.environ.get("CCRS_POLISH_JAC32", "") == "0":
+        polish_jac_f32 = False
     f32 = jnp.float32
     a32 = [
         jnp.asarray(a, f32)
@@ -685,5 +766,6 @@ def ba_solve_multi_mixed(
         jnp.asarray(s1.poses, dt),
         p3d, p2d, w, lo, hi, free, cam_frame_valid, frame_valid,
         one_focal=one_focal, max_iters=polish_iters, huber_delta=huber_delta,
+        jac_f32=polish_jac_f32,
     )
     return MultiBAResult(s2.theta, s2.ext, s2.poses, s2.cost, s1.n_iters + s2.n_iters)

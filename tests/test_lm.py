@@ -163,3 +163,41 @@ def test_ba_fixed_focal():
     )
     assert float(res.theta[0]) == float(theta0[0])
     np.testing.assert_allclose(np.asarray(res.theta), np.asarray(theta_gt), rtol=1e-7)
+
+
+def test_ba_f32_jacobian_polish_fixed_point():
+    """jac_f32=True (f32 Jacobians, f64 residual/cost) must land on the
+    same optimum as the full-f64 solve: params within ~1e-7 relative, RMS
+    within 1e-9 px (second-order in the Jacobian error) — the property
+    the mixed-precision polish default relies on.  Noisy observations so
+    the optimum has a genuine nonzero residual (a noiseless problem would
+    pass trivially with any J)."""
+    params_gt = np.array([190.9, 190.87, 254.94, 256.86, 0.628, 1.046])
+    p3d, poses_gt, p2d = _make_ba_case(params_gt, project_eucm, F=8)
+    rng = np.random.default_rng(5)
+    p2d = p2d + rng.normal(size=p2d.shape) * 0.1  # 0.1 px noise floor
+    F, N = p2d.shape[:2]
+    theta0 = jnp.asarray(params_gt * (1 + rng.normal(size=6) * 0.03))
+    poses0 = jnp.asarray(poses_gt + rng.normal(size=(F, 6)) * 0.01)
+    lo = jnp.asarray([0.0, 0.0, 0.0, 0.0, 1e-6, 1e-6])
+    hi = jnp.asarray([1e4, 1e4, 512.0, 512.0, 1.0, 10.0])
+    args = (
+        jnp.asarray(p3d), jnp.asarray(p2d), jnp.ones((F, N)),
+        lo, hi, jnp.ones(6), jnp.ones(F),
+    )
+    r64 = ba_solve(project_eucm, theta0, poses0, *args)
+    r32 = ba_solve(project_eucm, theta0, poses0, *args, jac_f32=True)
+    np.testing.assert_allclose(
+        np.asarray(r32.theta), np.asarray(r64.theta), rtol=5e-7
+    )
+
+    def rms(theta, poses):
+        proj = jax.vmap(
+            lambda po: project_eucm(
+                theta, se3.transform(po[:3], po[3:], jnp.asarray(p3d))
+            )[0]
+        )(poses)
+        d = np.linalg.norm(np.asarray(proj) - p2d, axis=-1)
+        return float(np.sqrt(np.mean(d**2)))
+
+    assert abs(rms(r64.theta, r64.poses) - rms(r32.theta, r32.poses)) < 1e-9
