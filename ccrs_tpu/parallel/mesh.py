@@ -145,6 +145,7 @@ def make_multi_ba_solver(
     huber_delta: float = 1.0,
     max_iters: int = 60,
     rtol: float = 1e-14,
+    jac_f32: bool = False,
 ):
     """Build (and cache) a jitted FULL frame-sharded multi-camera joint BA.
 
@@ -196,6 +197,12 @@ def make_multi_ba_solver(
             [jnp.zeros((1, 6), dtype), jnp.ones((C - 1, 6), dtype)], axis=0
         )
         full_free = jnp.concatenate([free.reshape(-1), ext_free.reshape(-1)])
+        # f32 Jacobians, dtype residual/cost (see solve.lm ba_solve jac_f32)
+        use_j32 = jac_f32 and dtype != jnp.float32
+        if use_j32:
+            f32j = jnp.float32
+            p3d32 = p3d.astype(f32j)
+            p2d32 = p2d.astype(f32j)
 
         def cam_residual(c, theta_c, e_c, pose_f, p2d_cf):
             params = expand_theta(theta_c, one_focal)
@@ -233,13 +240,40 @@ def make_multi_ba_solver(
                 def rfun(th, e, po, p2d_cf):
                     return cam_residual(c, th, e, po, p2d_cf)
 
-                def frame_jac(po, p2d_cf):
-                    Jt, Je, Jp = jax.jacfwd(rfun, argnums=(0, 1, 2))(
-                        theta[c], ext[c], po, p2d_cf
-                    )
-                    return rfun(theta[c], ext[c], po, p2d_cf), Jt, Je, Jp
+                if use_j32:
+                    def rfun32(th, e, po, p2d_cf):
+                        params = expand_theta(th, one_focal)
+                        rv, tv = po[:3], po[3:]
+                        if c == 0:
+                            pc = se3.transform(rv, tv, p3d32)
+                        else:
+                            rvc, tvc = se3.compose(e[:3], e[3:], rv, tv)
+                            pc = se3.transform(rvc, tvc, p3d32)
+                        proj, _ = project_fn(params, pc)
+                        return proj - p2d_cf
 
-                r, Jt, Je, Jp = jax.vmap(frame_jac)(poses, p2d[c])
+                    def frame_jac(po, p2d_cf, p2d_cf32):
+                        Jt, Je, Jp = jax.jacfwd(rfun32, argnums=(0, 1, 2))(
+                            theta[c].astype(f32j), ext[c].astype(f32j),
+                            po.astype(f32j), p2d_cf32,
+                        )
+                        r = rfun(theta[c], ext[c], po, p2d_cf)
+                        return (
+                            r, Jt.astype(dtype), Je.astype(dtype),
+                            Jp.astype(dtype),
+                        )
+
+                    r, Jt, Je, Jp = jax.vmap(frame_jac)(
+                        poses, p2d[c], p2d32[c]
+                    )
+                else:
+                    def frame_jac(po, p2d_cf):
+                        Jt, Je, Jp = jax.jacfwd(rfun, argnums=(0, 1, 2))(
+                            theta[c], ext[c], po, p2d_cf
+                        )
+                        return rfun(theta[c], ext[c], po, p2d_cf), Jt, Je, Jp
+
+                    r, Jt, Je, Jp = jax.vmap(frame_jac)(poses, p2d[c])
                 Jt = Jt * free[c][None, None, None, :]
                 Je = Je * ext_free[c][None, None, None, :]
                 r2 = jnp.sum(r * r, axis=-1)
@@ -551,6 +585,7 @@ def multi_ba_sharded_mixed(
     max_iters: int = 60,
     polish_iters: int = 10,  # matches ba_solve_multi_mixed
     mesh: Mesh | None = None,
+    polish_jac_f32: bool = True,
 ):
     """Frame-sharded, mixed-precision joint multi-camera BA over ALL
     visible devices — the multi-chip twin of ``solve.lm
@@ -566,7 +601,10 @@ def multi_ba_sharded_mixed(
     Returns a ``MultiBAResult`` with poses cropped back to F.
     """
     from ..solve.lm import MultiBAResult
+    import os
 
+    if os.environ.get("CCRS_POLISH_JAC32", "") == "0":
+        polish_jac_f32 = False
     if mesh is None:
         mesh = make_mesh()
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -600,7 +638,8 @@ def multi_ba_sharded_mixed(
     th1, ex1, po1, _, it1 = s1
     dt = theta0.dtype
     s2 = make_multi_ba_solver(
-        project_fn, mesh, one_focal, huber_delta, polish_iters
+        project_fn, mesh, one_focal, huber_delta, polish_iters,
+        jac_f32=polish_jac_f32,
     )(
         jnp.asarray(th1, dt),
         jnp.asarray(ex1, dt),
