@@ -198,16 +198,18 @@ def try_init_camera(
     q1, _ = _normalize(batch.p2d[frame1], batch.width, batch.height)
     pair_mask = batch.mask[frame0] & batch.mask[frame1]
     sel = [frame0, frame1]
+    # numpy operands: the jit transfers them; eager jnp casts here would
+    # each compile+load a one-op graph on the remote TPU (utils/host.py)
     params, ok = _try_init_device(
         key,
-        jnp.asarray(q0),
-        jnp.asarray(q1),
-        jnp.asarray(pair_mask),
-        jnp.asarray(board.p3d, dtype=jnp.float64),
-        jnp.asarray(batch.p2d[sel]),
-        jnp.asarray(batch.mask[sel]),
-        jnp.asarray(float(half), jnp.float64),
-        jnp.asarray([batch.width, batch.height], jnp.float64),
+        np.asarray(q0),
+        np.asarray(q1),
+        np.asarray(pair_mask),
+        np.asarray(board.p3d, dtype=np.float64),
+        np.asarray(batch.p2d[sel]),
+        np.asarray(batch.mask[sel]),
+        np.float64(half),
+        np.asarray([batch.width, batch.height], np.float64),
         fixed_focal=fixed_focal,
     )
     if not bool(ok):

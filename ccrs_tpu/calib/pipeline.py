@@ -19,6 +19,7 @@ import numpy as np
 from ..board import Board
 from ..models import GenericModel
 from ..utils.profiling import stage
+from ..utils.host import cpu_scope
 from ..types import CalibParams, RvecTvec
 from .convert import convert_model
 from .frames import FrameBatch
@@ -49,7 +50,8 @@ def init_and_calibrate_one_camera(
     initial_camera = None
     with stage("calib/init"):
         for i in range(MAX_INIT_ATTEMPTS):
-            key, sub = jax.random.split(key)
+            with cpu_scope():
+                key, sub = jax.random.split(key)
             initial_camera = try_init_camera(
                 board, batch, frame0, frame1, sub, calib_params.fixed_focal
             )
@@ -143,7 +145,8 @@ def calibrate_camera_with_retries(
     rng = np.random.default_rng(seed)
     best_gated = None
     for trial in range(MAX_TRIALS):
-        key, sub = jax.random.split(key)
+        with cpu_scope():
+            key, sub = jax.random.split(key)
         init_and_calibrate_one_camera.last_gated = None
         result = init_and_calibrate_one_camera(
             board, batch, target_model, calib_params, sub,

@@ -61,23 +61,28 @@ def prewarm_calibration(
     model.set_w_h(width, height)
 
     N = board.n_corners
-    p3d = jnp.asarray(board.p3d, dtype=jnp.float64)
+    p3d = np.asarray(board.p3d, dtype=np.float64)
     rng = np.random.default_rng(0)
 
     # --- fused init graph (also loads the 2-frame UCM BA inside it) ------
     q = rng.uniform(-0.9, 0.9, (2, N, 2))
     p2d2 = rng.uniform(0, width, (2, N, 2))
     masks2 = np.ones((2, N), bool)
+    from ..utils.host import cpu_scope
+
+    with cpu_scope():
+        key0 = jax.random.PRNGKey(0)
+    # numpy operands: the jit transfers them without eager one-op graphs
     params, ok = _try_init_device(
-        jax.random.PRNGKey(0),
-        jnp.asarray(q[0]),
-        jnp.asarray(q[1]),
-        jnp.asarray(masks2[0]),
+        key0,
+        q[0],
+        q[1],
+        masks2[0],
         p3d,
-        jnp.asarray(p2d2),
-        jnp.asarray(masks2),
-        jnp.asarray(float(max(width, height) / 2.0), jnp.float64),
-        jnp.asarray([width, height], jnp.float64),
+        p2d2,
+        masks2,
+        np.float64(max(width, height) / 2.0),
+        np.asarray([width, height], np.float64),
         fixed_focal=calib_params.fixed_focal,
     )
     ok.block_until_ready()
@@ -97,7 +102,10 @@ def prewarm_calibration(
         if cam.name in ("eucm", "eucmt"):
             p[5] = 1.0
         cam.set_params(p)
-    theta0 = np.asarray(reduce_params(jnp.asarray(cam.params), one_focal))
+    from ..utils.host import cpu_scope as _cs
+
+    with _cs():
+        theta0 = np.asarray(reduce_params(jnp.asarray(cam.params), one_focal))
     lo, hi = build_bounds(cam, one_focal)
     free = disabled_free_mask(
         cam, one_focal, calib_params.disabled_distortion_num
@@ -111,14 +119,14 @@ def prewarm_calibration(
     res, fv = _calib_camera_device(
         unproject_fn(cam.name),
         project_fn(cam.name),
-        jnp.asarray(theta0),
-        jnp.asarray(cam.params),
-        jnp.asarray(p2d),
-        jnp.asarray(mask),
+        theta0,
+        np.asarray(cam.params, np.float64),
+        p2d,
+        mask,
         p3d,
-        jnp.asarray(lo),
-        jnp.asarray(hi),
-        jnp.asarray(free),
+        lo,
+        hi,
+        np.asarray(free, np.float64),
         one_focal=one_focal,
     )
     res.cost.block_until_ready()

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.host import cpu_scope
 from ..board import Board
 from ..models import GenericModel
 from ..models.projections import project_fn, unproject_fn
@@ -138,7 +139,8 @@ def calib_camera(
     Returns (calibrated model, {frame_idx: board->camera pose}) or None.
     """
     params0 = camera.params.copy()
-    theta0 = np.asarray(reduce_params(jnp.asarray(params0), xy_same_focal))
+    with cpu_scope():
+        theta0 = np.asarray(reduce_params(jnp.asarray(params0), xy_same_focal))
     lo, hi = build_bounds(camera, xy_same_focal)
     free = disabled_free_mask(camera, xy_same_focal, disabled_distortions)
     # zero the disabled distortion entries (util.rs:69); at this point the

@@ -28,6 +28,7 @@ from .calib.multi import calib_all_camera_with_extrinsics, init_camera_extrinsic
 from .calib.pipeline import calibrate_camera_with_retries
 from .dataloader import load_euroc, load_general
 from .detect import FAMILY_NAMES, TagDetector
+from .utils.host import cpu_scope
 from .io import object_from_json, object_to_json, write_report
 from .models import MODEL_NAMES, model_to_json, zeros_like_model
 from .types import CalibParams, Extrinsics, RvecTvec
@@ -164,7 +165,8 @@ def calibrate_all_cameras(args, board, batches, recorder, key):
             disabled_distortion_num=args.disabled_distortion_num,
             one_focal=args.one_focal,
         )
-        key, sub = jax.random.split(key)
+        with cpu_scope():
+            key, sub = jax.random.split(key)
         try:
             result = calibrate_camera_with_retries(
                 board, batch, zeros_like_model(args.model), calib_params, sub,
@@ -284,8 +286,9 @@ def main(argv=None):
     ctx = with_profiler(profile_dir) if profile_dir else contextlib.nullcontext()
     with ctx:
         batches = load_feature_data(args, detector, board, recorder)
-        key = jax.random.PRNGKey(args.seed)
-        key, sub = jax.random.split(key)
+        with cpu_scope():
+            key = jax.random.PRNGKey(args.seed)
+            key, sub = jax.random.split(key)
         intrinsics, cam_rtvecs = calibrate_all_cameras(
             args, board, batches, recorder, sub
         )

@@ -26,6 +26,7 @@ from .detect.families import TagFamily, get_family
 from .models import GenericModel
 from .models.projections import project_fn, unproject_fn
 from .solve import se3
+from .utils.host import cpu_scope, on_cpu
 
 
 def board_pattern_image(
@@ -103,7 +104,10 @@ def board_pattern_image(
                 ci0 = int(round((x_left - ox) / cell))
                 ri0 = int(round((oy - y_top) / cell))
                 tex[ri0 : ri0 + gap_cells, ci0 : ci0 + gap_cells] = 0.0
-    return jnp.asarray(tex), (ox, oy), 1.0 / cell
+    # plain numpy: callers feed it to jits (which transfer it once); a jnp
+    # return would make every downstream .astype an eager one-op device
+    # graph (a remote compile+load each on the tunnel TPU backend)
+    return tex, (ox, oy), 1.0 / cell
 
 
 @partial(jax.jit, static_argnames=("proj_name", "width", "height", "ss"))
@@ -175,7 +179,7 @@ def render_board_image(
         jnp.asarray(model.params),
         jnp.asarray(rvec, dtype=jnp.float64),
         jnp.asarray(tvec, dtype=jnp.float64),
-        tex.astype(jnp.float64),
+        tex.astype(np.float64),
         ox,
         oy,
         scale,
@@ -241,19 +245,25 @@ def render_frames_device(
     radius = max(1, int(4.0 * blur_sigma + 0.5))
     x = np.arange(-radius, radius + 1, dtype=np.float64)
     k = np.exp(-0.5 * (x / blur_sigma) ** 2)
-    kern = jnp.asarray(k / k.sum(), jnp.float32)
-    f32 = jnp.float32
+    # all operands prepared in numpy and the PRNG key on the local CPU:
+    # eager jnp casts here would each compile+load a one-op graph on the
+    # remote TPU backend (utils/host.py)
+    kern = (k / k.sum()).astype(np.float32)
+    f32 = np.float32
+    with cpu_scope():
+        key = jax.random.PRNGKey(seed)
     return _render_seq(
         model.name,
-        jnp.asarray(model.params, f32),
-        jnp.asarray(poses, f32),
+        np.asarray(model.params, f32),
+        np.asarray(poses, f32),
         tex.astype(f32),
         f32(ox), f32(oy), f32(scale),
         int(model.width), int(model.height), ss,
-        kern, f32(noise), jax.random.PRNGKey(seed),
+        kern, f32(noise), key,
     )
 
 
+@on_cpu
 def gt_corners(model: GenericModel, board: Board, rvec, tvec):
     """Exact projected corner positions + visibility mask."""
     R = np.asarray(se3.exp_so3(jnp.asarray(rvec, dtype=jnp.float64)))
@@ -284,6 +294,7 @@ def front_view_base():
     return np.array([0.0, 0.0, np.pi])
 
 
+@on_cpu
 def smooth_sequence_poses(
     n_frames: int,
     board: Board,
@@ -327,6 +338,7 @@ def smooth_sequence_poses(
     return np.stack(poses)
 
 
+@on_cpu
 def default_sequence_poses(n_frames: int, board: Board, seed: int = 0, span_scale=1.0):
     """Handheld-like pose sweep keeping the board in view (front side)."""
     rng = np.random.default_rng(seed)
@@ -380,12 +392,14 @@ def write_euroc_dataset(
             rvec, tvec = poses[f, :3], poses[f, 3:]
             if extrinsics is not None and ci > 0:
                 r_i0, t_i0 = extrinsics[ci][:3], extrinsics[ci][3:]
-                rvec, tvec = [
-                    np.asarray(v)
-                    for v in se3.compose(
+                with cpu_scope():
+                    composed = se3.compose(
                         jnp.asarray(r_i0), jnp.asarray(t_i0),
                         jnp.asarray(rvec), jnp.asarray(tvec),
                     )
+                rvec, tvec = [
+                    np.asarray(v)
+                    for v in composed
                 ]
             img = render_board_image(
                 model, board, family, rvec, tvec, noise=noise, seed=seed * 1000 + f
