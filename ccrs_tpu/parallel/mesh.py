@@ -637,9 +637,11 @@ def multi_ba_sharded_mixed(
     )
     th1, ex1, po1, _, it1 = s1
     dt = theta0.dtype
+    from ..solve.lm import polish_rtol
+
     s2 = make_multi_ba_solver(
         project_fn, mesh, one_focal, huber_delta, polish_iters,
-        jac_f32=polish_jac_f32,
+        rtol=polish_rtol(), jac_f32=polish_jac_f32,
     )(
         jnp.asarray(th1, dt),
         jnp.asarray(ex1, dt),
