@@ -156,7 +156,13 @@ def calibrate_camera_with_retries(
             return result
         gated = init_and_calibrate_one_camera.last_gated
         if gated is not None and (best_gated is None or gated[0] < best_gated[0]):
-            best_gated = gated
+            # remember the trial's init frames with the attempt: a later
+            # trial overwrites last_init_frames, and the keyframe markers
+            # (cli.py log_keyframes) must describe the attempt actually
+            # returned, not the last one tried
+            best_gated = gated + (
+                init_and_calibrate_one_camera.last_init_frames,
+            )
     if best_gated is not None:
         log.warning(
             "all %d trials failed the sanity gate; returning the best "
@@ -164,5 +170,6 @@ def calibrate_camera_with_retries(
             "cannot represent this camera",
             MAX_TRIALS, best_gated[0],
         )
+        init_and_calibrate_one_camera.last_init_frames = best_gated[2]
         return best_gated[1]
     raise RuntimeError(f"Failed to calibrate camera after {MAX_TRIALS} trials")

@@ -176,8 +176,10 @@ def extract_quads_device(
     # packing budget: coordinates are CENTERED on the image midpoint before
     # projecting, so proj/perp at half-pixel resolution are bounded by
     # sqrt(W^2 + H^2), which must fit the signed 13-bit field (+-4096) —
-    # i.e. true support up to ~2896 px a side (2048 included)
-    assert (W * W + H * H) ** 0.5 < _COORD_BIAS, (
+    # i.e. true support up to ~2896 px a side (2048 included).  The +0.5
+    # covers jnp.round: a projection in (4095.5, 4096) would round to
+    # 4096 and carry into the neighboring packed field.
+    assert (W * W + H * H) ** 0.5 + 0.5 < _COORD_BIAS, (
         "image too large for int32 extreme packing"
     )
     black = binary == 0

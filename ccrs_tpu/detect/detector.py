@@ -114,6 +114,10 @@ def _chunk_plan(B: int, chunk: int, small: int, cpu: bool,
     plus ``small``-sized tail pieces — both shapes precompiled — so
     padding waste is bounded by ``small - 1`` frames instead of
     ``chunk - 1`` (padding frames pay full link + host-CCL cost)."""
+    if B <= 0:
+        # an empty batch runs zero chunks; padding an empty slice cannot
+        # manufacture the static shape a non-empty plan would promise
+        return []
     if cpu:
         sizes = []
         base = forced if forced is not None else chunk
@@ -128,7 +132,7 @@ def _chunk_plan(B: int, chunk: int, small: int, cpu: bool,
     sizes = [chunk] * (B // chunk)
     rem = B - chunk * len(sizes)
     sizes += [small] * ((rem + small - 1) // small)
-    return sizes or [small]
+    return sizes
 
 
 def _dedup_levels(q1, c1, q2, c2, max_quads):
@@ -509,9 +513,11 @@ class TagDetector:
                 reps = jnp.repeat(part[-1:], C - part.shape[0], axis=0)
                 part = jnp.concatenate([part, reps], axis=0)
             dev_chunks.append(part)
-            small = _pool2(part) if scale == 2 else part
-            padded, _, _ = pad_to_tile(small)
-            packed_chunks.append(adaptive_threshold_packed(padded))
+            # ONE fused graph (pool + pad + threshold + pack): the separate
+            # dispatches each added link latency per chunk and a per-graph
+            # load at warmup (threshold.threshold_front, which prewarm()
+            # warms — keep the two in lockstep)
+            packed_chunks.append(threshold_front(part, scale))
         pw = int(pad_to_tile(dev_all[:1, :sH, :sW])[0].shape[-1])
 
         # Prefetch the packed bitmaps on a background thread: the link
@@ -879,6 +885,23 @@ class TagDetector:
                 for t in np.flatnonzero(g_att[f] & ~g_acc[f] & ~g_ben[f])
             )
 
+        # A cold-confirmed absence suppresses re-audits only for KB_TTL
+        # frames (the audit-cadence bound of the sequential design,
+        # commit 02a340e, which the wave rewrite had dropped — the stamp
+        # was stored but never read).  Without the TTL a tag occluded
+        # once is never audited again: if it later reappears somewhere
+        # the wave predictor hard-fails but the cold pipeline would
+        # decode, recall silently trails cold until the next anchor.
+        # With it, a persistent blind spot re-confirms once per ~2
+        # segments (one extra tag in a batched audit) instead of never.
+        KB_TTL = 2 * K
+
+        def known_bad_at(f: int) -> set:
+            g = g0 + f
+            return {
+                t for t, s in st["known_bad"].items() if g - s <= KB_TTL
+            }
+
         def res_at(f: int) -> Dict[int, np.ndarray]:
             return results[f] if f >= 0 else resmap.get(f, {})
 
@@ -956,7 +979,7 @@ class TagDetector:
             for f in range(B):
                 if f in coldres:
                     continue
-                novel = fails_at(f) - st["known_bad"].keys()
+                novel = fails_at(f) - known_bad_at(f)
                 acc_n = int(g_acc[f].sum())
                 # 1-2 flickering tags on an otherwise healthy frame are
                 # LIGHT suspects — audited once in a single batched sweep
@@ -1001,7 +1024,7 @@ class TagDetector:
                     elif r not in seen_rows:
                         seen_rows[r] = True
                         lead.append(f)
-                        novel_n = len(fails_at(f) - st["known_bad"].keys())
+                        novel_n = len(fails_at(f) - known_bad_at(f))
                         row_thr = max(
                             MIN_TRACK_TAGS,
                             min(n_tags // 2, expected_at(f) - 2),
@@ -1019,7 +1042,7 @@ class TagDetector:
             self.stats["trigger_frames"] += len(lead)
             for f in lead:
                 self.stats.setdefault("trigger_log", []).append(
-                    (f, sorted(fails_at(f) - st["known_bad"].keys()))
+                    (f, sorted(fails_at(f) - known_bad_at(f)))
                 )
             coldres.update(cold_sweep(lead, "detect/track-audit"))
             improved: List[int] = []
@@ -1055,13 +1078,13 @@ class TagDetector:
         light = [
             f
             for f in range(B)
-            if f not in coldres and (fails_at(f) - st["known_bad"].keys())
+            if f not in coldres and (fails_at(f) - known_bad_at(f))
         ]
         if light:
             self.stats["trigger_frames"] += len(light)
             for f in light:
                 self.stats.setdefault("trigger_log", []).append(
-                    (f, sorted(fails_at(f) - st["known_bad"].keys()))
+                    (f, sorted(fails_at(f) - known_bad_at(f)))
                 )
             coldres.update(cold_sweep(light, "detect/track-audit"))
             for f in light:

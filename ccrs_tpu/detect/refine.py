@@ -189,8 +189,8 @@ def refine_corners(images, corners, win: int = WIN, iters: int = ITERS):
       corners: (B, M, 2) float32 initial (x, y) estimates.
 
     Returns (B, M, 2) refined positions (per-iteration shift clamped to
-    1 px; total shift clamped to the window radius so divergent corners
-    stay near their initial estimate).
+    1 px; total shift clamped to max(win, MAX_SHIFT) px so divergent
+    corners stay near their initial estimate).
     """
     gx, gy = _grad(images)
     offs = jnp.arange(-win, win + 1, dtype=images.dtype)
@@ -223,7 +223,8 @@ def refine_corners(images, corners, win: int = WIN, iters: int = ITERS):
         refined, _ = jax.lax.scan(step, corners_i, None, length=iters)
         total = refined - corners_i
         norm = jnp.linalg.norm(total, axis=1, keepdims=True)
-        scale = jnp.minimum(1.0, MAX_SHIFT / jnp.maximum(norm, 1e-9))
+        shift_cap = max(float(win), MAX_SHIFT)
+        scale = jnp.minimum(1.0, shift_cap / jnp.maximum(norm, 1e-9))
         return corners_i + total * scale
 
     return jax.vmap(per_image)(gx, gy, corners)

@@ -298,7 +298,7 @@ def test_chunk_plan():
     assert _chunk_plan(102, 64, 8, cpu=False) == [64] + [8] * 5
     assert _chunk_plan(64, 64, 8, cpu=False) == [64]
     assert _chunk_plan(5, 64, 8, cpu=False) == [8]
-    assert _chunk_plan(0, 64, 8, cpu=False) == [8]
+    assert _chunk_plan(0, 64, 8, cpu=False) == []  # empty batch: zero chunks
     # forced single size (legacy cold_chunk sweeps)
     assert _chunk_plan(21, 64, 8, cpu=False, forced=8) == [8] * 3
     # cpu: natural sizes
