@@ -78,6 +78,13 @@ def _cholesky_solve8(M, rhs):
     wave predictor's 2592 fits).  Unrolling the 8x8 Cholesky +
     forward/back substitution into static Python loops turns it into a
     few hundred (Q,)-vectorized VPU ops instead.
+
+    Deliberate twin of ``solve.lm.cholesky_solve_batched_small`` (vector
+    rhs, n pinned to 8): THIS copy runs in f32 image space, so its sqrt
+    floor is 1e-20, while the lm helper serves the f64 solver cores with
+    a 1e-300 floor — merging them would force a dtype-dependent floor
+    into the solver hot path.  Keep fixes to the substitution/poisoning
+    logic in sync between the two.
     """
     n = 8
     L = [[None] * n for _ in range(n)]

@@ -204,16 +204,25 @@ def make_multi_ba_solver(
             p3d32 = p3d.astype(f32j)
             p2d32 = p2d.astype(f32j)
 
-        def cam_residual(c, theta_c, e_c, pose_f, p2d_cf):
-            params = expand_theta(theta_c, one_focal)
-            rv, tv = pose_f[:3], pose_f[3:]
-            if c == 0:
-                pc = se3.transform(rv, tv, p3d)
-            else:
-                rvc, tvc = se3.compose(e_c[:3], e_c[3:], rv, tv)
-                pc = se3.transform(rvc, tvc, p3d)
-            proj, _ = project_fn(params, pc)
-            return proj - p2d_cf
+        def cam_residual_with(pts):
+            # single residual body for both precisions (the jac_f32 path
+            # differentiates this same math on f32 points; see
+            # solve.lm.ba_solve_multi)
+            def f(c, theta_c, e_c, pose_f, p2d_cf):
+                params = expand_theta(theta_c, one_focal)
+                rv, tv = pose_f[:3], pose_f[3:]
+                if c == 0:
+                    pc = se3.transform(rv, tv, pts)
+                else:
+                    rvc, tvc = se3.compose(e_c[:3], e_c[3:], rv, tv)
+                    pc = se3.transform(rvc, tvc, pts)
+                proj, _ = project_fn(params, pc)
+                return proj - p2d_cf
+
+            return f
+
+        cam_residual = cam_residual_with(p3d)
+        cam_residual32 = cam_residual_with(p3d32) if use_j32 else None
 
         def cost_of(theta, ext, poses):
             total = jnp.zeros((), dtype)
@@ -241,16 +250,8 @@ def make_multi_ba_solver(
                     return cam_residual(c, th, e, po, p2d_cf)
 
                 if use_j32:
-                    def rfun32(th, e, po, p2d_cf):
-                        params = expand_theta(th, one_focal)
-                        rv, tv = po[:3], po[3:]
-                        if c == 0:
-                            pc = se3.transform(rv, tv, p3d32)
-                        else:
-                            rvc, tvc = se3.compose(e[:3], e[3:], rv, tv)
-                            pc = se3.transform(rvc, tvc, p3d32)
-                        proj, _ = project_fn(params, pc)
-                        return proj - p2d_cf
+                    def rfun32(th, e, po, p2d_cf, c=c):
+                        return cam_residual32(c, th, e, po, p2d_cf)
 
                     def frame_jac(po, p2d_cf, p2d_cf32):
                         Jt, Je, Jp = jax.jacfwd(rfun32, argnums=(0, 1, 2))(

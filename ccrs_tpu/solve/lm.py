@@ -326,11 +326,20 @@ def ba_solve(
         p3d32 = p3d.astype(f32)
         p2d32 = p2d.astype(f32)
 
-    def frame_residual(theta, pose, p2d_f):
-        params = expand_theta(theta, one_focal)
-        pc = se3.transform(pose[:3], pose[3:], p3d)
-        proj, _ = project_fn(params, pc)
-        return proj - p2d_f  # (N,2)
+    def residual_with(pts):
+        # ONE residual body parameterized on the board points' precision:
+        # the f32-Jacobian path (jac_f32) differentiates the same math on
+        # f32 points, so an edit here serves both precisions
+        def f(theta, pose, p2d_f):
+            params = expand_theta(theta, one_focal)
+            pc = se3.transform(pose[:3], pose[3:], pts)
+            proj, _ = project_fn(params, pc)
+            return proj - p2d_f  # (N,2)
+
+        return f
+
+    frame_residual = residual_with(p3d)
+    frame_residual32 = residual_with(p3d32) if jac_f32 else None
 
     def cost_of(theta, poses):
         r = jax.vmap(frame_residual, in_axes=(None, 0, 0))(theta, poses, p2d)
@@ -343,10 +352,7 @@ def ba_solve(
 
         if jac_f32:
             def rfun32(th, po):
-                params = expand_theta(th, one_focal)
-                pc = se3.transform(po[:3], po[3:], p3d32)
-                proj, _ = project_fn(params, pc)
-                return proj - p2d_f32
+                return frame_residual32(th, po, p2d_f32)
 
             Jt, Jp = jax.jacfwd(rfun32, argnums=(0, 1))(
                 theta.astype(f32), pose.astype(f32)
@@ -559,16 +565,24 @@ def ba_solve_multi(
         [jnp.zeros((1, 6), dtype), jnp.ones((C - 1, 6), dtype)], axis=0
     )
 
-    def cam_residual(c, theta_c, e_c, pose_f, p2d_cf):
-        params = expand_theta(theta_c, one_focal)
-        rv, tv = pose_f[:3], pose_f[3:]
-        if c == 0:
-            pc = se3.transform(rv, tv, p3d)
-        else:
-            rvc, tvc = se3.compose(e_c[:3], e_c[3:], rv, tv)
-            pc = se3.transform(rvc, tvc, p3d)
-        proj, _ = project_fn(params, pc)
-        return proj - p2d_cf
+    def cam_residual_with(pts):
+        # single residual body for both precisions (see residual_with in
+        # ba_solve): the f32-Jacobian path differentiates this same math
+        def f(c, theta_c, e_c, pose_f, p2d_cf):
+            params = expand_theta(theta_c, one_focal)
+            rv, tv = pose_f[:3], pose_f[3:]
+            if c == 0:
+                pc = se3.transform(rv, tv, pts)
+            else:
+                rvc, tvc = se3.compose(e_c[:3], e_c[3:], rv, tv)
+                pc = se3.transform(rvc, tvc, pts)
+            proj, _ = project_fn(params, pc)
+            return proj - p2d_cf
+
+        return f
+
+    cam_residual = cam_residual_with(p3d)
+    cam_residual32 = cam_residual_with(p3d32) if jac_f32 else None
 
     def cost_of(theta, ext, poses):
         total = jnp.zeros((), dtype)
@@ -593,16 +607,8 @@ def ba_solve_multi(
                 return cam_residual(c, th, e, po, p2d_cf)
 
             if jac_f32:
-                def rfun32(th, e, po, p2d_cf):
-                    params = expand_theta(th, one_focal)
-                    rv, tv = po[:3], po[3:]
-                    if c == 0:
-                        pc = se3.transform(rv, tv, p3d32)
-                    else:
-                        rvc, tvc = se3.compose(e[:3], e[3:], rv, tv)
-                        pc = se3.transform(rvc, tvc, p3d32)
-                    proj, _ = project_fn(params, pc)
-                    return proj - p2d_cf
+                def rfun32(th, e, po, p2d_cf, c=c):
+                    return cam_residual32(c, th, e, po, p2d_cf)
 
                 def frame_jac(po, p2d_cf, p2d_cf32):
                     Jt, Je, Jp = jax.jacfwd(rfun32, argnums=(0, 1, 2))(
