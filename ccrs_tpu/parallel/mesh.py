@@ -586,7 +586,7 @@ def multi_ba_sharded_mixed(
     max_iters: int = 60,
     polish_iters: int = 10,  # matches ba_solve_multi_mixed
     mesh: Mesh | None = None,
-    polish_jac_f32: bool = True,
+    polish_jac_f32: bool = False,  # f64 J default: see ba_solve_multi_mixed
 ):
     """Frame-sharded, mixed-precision joint multi-camera BA over ALL
     visible devices — the multi-chip twin of ``solve.lm
@@ -604,8 +604,11 @@ def multi_ba_sharded_mixed(
     from ..solve.lm import MultiBAResult
     import os
 
-    if os.environ.get("CCRS_POLISH_JAC32", "") == "0":
+    env = os.environ.get("CCRS_POLISH_JAC32", "")
+    if env == "0":
         polish_jac_f32 = False
+    elif env == "1":
+        polish_jac_f32 = True
     if mesh is None:
         mesh = make_mesh()
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))

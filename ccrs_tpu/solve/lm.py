@@ -752,7 +752,7 @@ def ba_solve_multi_mixed(
     max_iters: int = 60,
     huber_delta: float = 1.0,
     polish_iters: int = 10,
-    polish_jac_f32: bool = True,
+    polish_jac_f32: bool = False,
 ) -> MultiBAResult:
     """Two-stage mixed-precision joint BA.
 
@@ -762,13 +762,23 @@ def ba_solve_multi_mixed(
     plateau), stage 2 polishes from the f32 state in f64.  Measured to
     reproduce the pure-f64 solution (identical final cost/params on the
     8-cam rig problem) while replacing most emulated-f64 iterations with
-    native-f32 ones.  The polish uses f32 JACOBIANS by default (see
-    ba_solve's jac_f32 note; CCRS_POLISH_JAC32=0 restores full-f64).
+    native-f32 ones.
+
+    Unlike the single-camera ``ba_solve_mixed``, the polish keeps f64
+    JACOBIANS by default: on the 8-camera/1000-frame rig the joint
+    96-dim Schur system is ill-conditioned enough that f32 Jacobian
+    error poisons the step (measured: polish stalls at the f32 state,
+    max focal error 2.1% vs 1.25e-4 with f64 J; the single-camera 6-dim
+    system shows 6.6e-11 px drift with f32 J).  CCRS_POLISH_JAC32=1
+    forces it on for experiments, =0 forces off.
     """
     import os
 
-    if os.environ.get("CCRS_POLISH_JAC32", "") == "0":
+    env = os.environ.get("CCRS_POLISH_JAC32", "")
+    if env == "0":
         polish_jac_f32 = False
+    elif env == "1":
+        polish_jac_f32 = True
     f32 = jnp.float32
     a32 = [
         jnp.asarray(a, f32)
