@@ -57,6 +57,14 @@ import jax as _jax
 
 
 @_jax.jit
+def _stack_outs(outs):
+    """Stack a sequence of per-wave output tuples on device in ONE
+    graph — the eager per-field jnp.stack compiled its own broadcast +
+    concatenate one-op graphs (remote loads each on the TPU backend)."""
+    return tuple(jnp.stack(x) for x in zip(*outs))
+
+
+@_jax.jit
 def _pool2(images):
     """2x2 mean pyramid level (device side); odd trailing rows/cols drop."""
     B, H, W = images.shape
@@ -459,7 +467,7 @@ class TagDetector:
         return self._detect_batch_cold(dev_all, board)
 
     def _detect_batch_cold(
-        self, dev_all, board, chunk: int | None = None
+        self, dev_all, board, chunk: int | None = None, idx=None
     ) -> List[Dict[int, np.ndarray]]:
         """The full (cold) detection pipeline over a device-resident batch:
         threshold -> bitmap download -> native CCL quad extraction ->
@@ -471,8 +479,17 @@ class TagDetector:
         ``cold_chunk``-sized tail chunks (both shapes are precompiled), so
         a 534-frame batch pads to 536 frames of real work instead of 576 —
         padding frames pay full link + host-CCL cost, so the plan matters.
+
+        ``idx``: optional int array of frame indices into ``dev_all`` to
+        detect (the tracking audits use this); results are returned in
+        ``idx`` order.  Frames are pulled per chunk with a fixed-shape
+        gather — the same two compiled gather graphs serve contiguous
+        batches, sweep subsets, and tail padding alike (per-offset device
+        slices plus repeat/concat padding each compiled their own one-op
+        graph on the remote backend).
         """
-        B, H, W = dev_all.shape
+        B_img, H, W = dev_all.shape
+        B = int(len(idx)) if idx is not None else B_img
 
         # Enqueue every chunk's threshold up front (dispatch is async), so
         # the packed-bitmap downloads of chunk i overlap the device work of
@@ -505,20 +522,30 @@ class TagDetector:
         # below), so accuracy is unchanged.
         scale = 2 if max(H, W) >= self.pyramid_min_side else 1
         sH, sW = H // scale, W // scale
+        sel_all = (
+            np.asarray(idx, np.int64)
+            if idx is not None
+            else np.arange(B, dtype=np.int64)
+        )
         dev_chunks, packed_chunks = [], []
         for ci in range(n_chunks):
             lo, C = int(offsets[ci]), sizes[ci]
-            part = dev_all[lo : lo + C]
-            if part.shape[0] < C:  # pad final chunk to keep shapes static
-                reps = jnp.repeat(part[-1:], C - part.shape[0], axis=0)
-                part = jnp.concatenate([part, reps], axis=0)
+            sel = sel_all[lo : lo + C]
+            if len(sel) < C:  # pad final chunk to keep shapes static
+                sel = np.concatenate([sel, np.repeat(sel[-1:], C - len(sel))])
+            part = jnp.take(dev_all, jnp.asarray(sel.astype(np.int32)), axis=0)
             dev_chunks.append(part)
             # ONE fused graph (pool + pad + threshold + pack): the separate
             # dispatches each added link latency per chunk and a per-graph
             # load at warmup (threshold.threshold_front, which prewarm()
             # warms — keep the two in lockstep)
             packed_chunks.append(threshold_front(part, scale))
-        pw = int(pad_to_tile(dev_all[:1, :sH, :sW])[0].shape[-1])
+        # packed width after pad_to_tile, computed host-side (a device
+        # probe slice would compile its own one-op graph)
+        from .threshold import TILE as _TILE
+
+        wmul = _TILE * 8 // np.gcd(_TILE, 8)
+        pw = sW + ((-sW) % wmul)
 
         # Prefetch the packed bitmaps on a background thread: the link
         # download of chunk i+1 overlaps the host quad extraction of
@@ -649,19 +676,16 @@ class TagDetector:
         def cold_sweep(frames: List[int], tag: str):
             """Cold-detect absolute frame indices (batched, pipelined).
 
-            The frame list is padded (last frame repeated) to a multiple
-            of ``cold_chunk`` and covered by the mixed 64+8 chunk plan of
-            ``_detect_batch_cold`` — the pipeline only ever sees its two
-            precompiled shapes, and a 102-frame anchor sweep pays 104
-            frames of work instead of 128 (padding frames cost full link
-            + host-CCL time)."""
-            G = self.cold_chunk
-            padded = frames + [frames[-1]] * (-len(frames) % G)
+            Delegates frame selection to ``_detect_batch_cold``'s mixed
+            64+8 chunk plan via ``idx`` — each chunk is one fixed-shape
+            gather, so the pipeline only ever sees its two precompiled
+            shapes, and a 102-frame anchor sweep pays 104 frames of work
+            instead of 128 (padding frames cost full link + host-CCL
+            time)."""
             with stage(tag):
-                sub = jnp.take(
-                    dev_all, jnp.asarray(np.asarray(padded, np.int32)), axis=0
+                res = self._detect_batch_cold(
+                    dev_all, board, idx=np.asarray(frames, np.int64)
                 )
-                res = self._detect_batch_cold(sub, board)
             self.stats["cold_frames"] += len(frames)
             self.stats["cold_groups"] += 1
             return dict(zip(frames, res))
@@ -784,7 +808,7 @@ class TagDetector:
             board_xy = jnp.asarray(
                 board.p3d.reshape(n_tags, 4, 3)[:, :, :2].astype(np.float32)
             )
-            first_dev = jnp.asarray(np.int32(first))
+            first_dev = jnp.asarray(np.asarray(first, np.int32))
             carry = tuple(
                 jnp.asarray(a)
                 for a in init_wave_carry(c1, v1, c2, v2, c3, v3)
@@ -803,9 +827,7 @@ class TagDetector:
                 self.stats["waves"] = Wmax
                 # stack per-wave outputs ON DEVICE; fetched after the
                 # cold-direct sweep below overlaps with the wave compute
-                stacked = tuple(
-                    jnp.stack([o[k] for o in outs]) for k in range(4)
-                )
+                stacked = _stack_outs(tuple(tuple(o) for o in outs))
                 _async_fetch(stacked)
             if direct_frames:
                 coldres.update(
