@@ -151,17 +151,19 @@ def calib_camera(
     lo = np.where(free == 0.0, -np.inf, lo)
     hi = np.where(free == 0.0, np.inf, hi)
 
+    # numpy operands: the jit transfers them; eager jnp casts here each
+    # compiled a one-op graph on the remote backend (utils/host.py)
     res, frame_valid_j = _calib_camera_device(
         unproject_fn(camera.name),
         project_fn(camera.name),
-        jnp.asarray(theta0),
-        jnp.asarray(camera.params),
-        jnp.asarray(batch.p2d),
-        jnp.asarray(batch.mask),
-        jnp.asarray(board.p3d, dtype=jnp.float64),
-        jnp.asarray(lo),
-        jnp.asarray(hi),
-        jnp.asarray(free),
+        np.asarray(theta0),
+        np.asarray(camera.params, np.float64),
+        np.asarray(batch.p2d),
+        np.asarray(batch.mask),
+        np.asarray(board.p3d, dtype=np.float64),
+        np.asarray(lo),
+        np.asarray(hi),
+        np.asarray(free, np.float64),
         one_focal=xy_same_focal,
     )
     frame_valid = np.asarray(frame_valid_j)
