@@ -312,6 +312,22 @@ class TagDetector:
                     carry, jnp.zeros(Rw, bool),
                 )
                 outs[1].block_until_ready()
+                # the per-wave output stack (one jitted graph per wave
+                # count — warm the 1-wave shape; longer stacks retrace
+                # but reuse the cached executable family) and ...
+                _stack_outs((tuple(outs),))
+            if n_frames is not None and n_frames > 0:
+                # ... the two fixed-shape frame gathers of the cold
+                # chunk plan, keyed on the full batch length: they are
+                # the first ops of the real detect call, and unwarmed
+                # they land in the measured first-run latency
+                dummy = jnp.zeros((n_frames, height, width), jnp.uint8)
+                for C in {self.chunk, self.cold_chunk}:
+                    idxs = np.zeros(min(C, n_frames) or 1, np.int32)
+                    jnp.take(
+                        dummy, jnp.asarray(idxs), axis=0
+                    ).block_until_ready()
+                del dummy
 
     # ----------------------------------------------------- shared helpers
     def _extract_quads(self, b1, board, scale):

@@ -219,8 +219,11 @@ def _render_seq(
     imgs = sum(kern[i] * p[:, :, i : i + width] for i in range(kern.shape[0]))
 
     imgs = imgs + jax.random.normal(key, imgs.shape, imgs.dtype) * noise
-    # quantize to integer gray levels like a real 8-bit sensor
-    return jnp.round(jnp.clip(imgs, 0, 255))
+    # quantize to integer gray levels like a real 8-bit sensor; uint8
+    # OUTPUT so device-rendered batches hit the same detect graphs as
+    # real uploaded datasets (a f32 batch compiled a second full family
+    # of threshold/refine/wave graphs, which prewarm did not cover)
+    return jnp.round(jnp.clip(imgs, 0, 255)).astype(jnp.uint8)
 
 
 def render_frames_device(
@@ -233,8 +236,8 @@ def render_frames_device(
     seed: int = 0,
     blur_sigma: float = 0.7,
 ):
-    """Render a whole pose sequence ON DEVICE; returns (F, H, W) float32
-    (0..255, integer-quantized) with no host round-trip — feed it to
+    """Render a whole pose sequence ON DEVICE; returns (F, H, W) uint8
+    with no host round-trip — feed it to
     ``TagDetector.detect_batch(None, board, dev_images=...)`` so the only
     link traffic of the detect stage is thresholded bits + corner patches.
 
