@@ -47,6 +47,14 @@ NORTH_STAR_FPS = 534 / 2.0
 def run_config(size: int, n_frames: int, collect_stages: bool):
     import jax.random as jr
 
+    from ccrs_tpu.utils.host import cpu_scope
+
+    def key(seed):
+        # PRNG key creation on the local CPU: an eager threefry on the
+        # remote backend is its own one-op graph + load (utils/host.py)
+        with cpu_scope():
+            return jr.PRNGKey(seed)
+
     from ccrs_tpu.board import create_default_6x6_board
     from ccrs_tpu.calib import validation
     from ccrs_tpu.calib.pipeline import calibrate_camera_with_retries
@@ -147,7 +155,7 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     print(f"[{size}] warmup run (compiles)...", file=sys.stderr)
     t0 = time.perf_counter()
     try:
-        batch, (model, rtvecs) = pipeline(jr.PRNGKey(0))
+        batch, (model, rtvecs) = pipeline(key(0))
     except Exception as e:
         if dev_imgs is None:
             raise
@@ -155,7 +163,7 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
         print(f"device-resident path failed ({e!r}); falling back", file=sys.stderr)
         imgs, dev_imgs = render_host(), None
         t0 = time.perf_counter()
-        batch, (model, rtvecs) = pipeline(jr.PRNGKey(0))
+        batch, (model, rtvecs) = pipeline(key(0))
     warm = time.perf_counter() - t0
     print(f"[{size}] warmup: {warm:.1f}s", file=sys.stderr)
 
@@ -167,7 +175,7 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     for rep in range(3):
         profiling.reset()
         t0 = time.perf_counter()
-        batch, (model, rtvecs) = pipeline(jr.PRNGKey(1))
+        batch, (model, rtvecs) = pipeline(key(1))
         dt = time.perf_counter() - t0
         print(f"[{size}] timed run {rep}: {dt:.2f}s", file=sys.stderr)
         if dt < elapsed:
@@ -245,11 +253,11 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
             assert result is not None, "host-path calibration failed"
             return batch, result
 
-        pipeline_host(jr.PRNGKey(0))  # warm any host-path-only graphs
+        pipeline_host(key(0))  # warm any host-path-only graphs
         best = float("inf")
         for rep in range(2):
             t0 = time.perf_counter()
-            pipeline_host(jr.PRNGKey(1))
+            pipeline_host(key(1))
             dt = time.perf_counter() - t0
             print(f"[{size}] host-image run {rep}: {dt:.2f}s", file=sys.stderr)
             best = min(best, dt)
