@@ -62,6 +62,15 @@ EDGE_MARGIN = 8.0
 #: refinement moved every corner less than this (well inside the 4 px
 #: capture clamp — converged localization, so the failure is decode noise)
 BENIGN_MAX_DISP = 3.0
+#: a refine that traveled to its total-shift clamp (sample.MAX_SHIFT=4.5)
+#: has NOT converged: the quad can sit many px from the true corner and
+#: STILL decode (the id bits tolerate px-scale corner error — measured
+#: 5.5 px accepted corners under zig-zag shake, tests/test_track_shake.py),
+#: so acceptance requires the refine displacement to be below this.
+#: Unconverged pass-1 accepts get ONE restart in the assist pass (a fresh
+#: refine resets the clamp budget, capturing another 4.5 px); a quad still
+#: unconverged after that hard-fails into the audit path, where cold wins.
+CONVERGED_MAX_DISP = 4.0
 #: frames a lost tag "coasts" on its last known position (advanced by the
 #: global scene velocity) before prediction falls back to the local
 #: homography.  Flickering marginal tags lose one frame at a time; their
@@ -286,13 +295,17 @@ def wave_advance(family: TagFamily, images, board_xy, first_id,
     out_c = dec["corners"]
 
     id_match = tag_id == exp_id[None, :]
+    disp = jnp.linalg.norm(quads - pred_t, axis=-1).max(axis=-1)
     acc = (
         attempt
         & contrast_ok
         & id_match
         & (hamming <= family.max_hamming + TRACK_EXTRA_HAMMING)
     )
-    disp = jnp.linalg.norm(quads - pred_t, axis=-1).max(axis=-1)
+    # localization gate: an id-match on a clamped (unconverged) refine is
+    # NOT trustworthy — demote to a restart attempt below
+    unconv = acc & (disp >= CONVERGED_MAX_DISP)
+    acc = acc & ~unconv
     benign = (
         attempt & ~acc & id_match & contrast_ok & (disp < BENIGN_MAX_DISP)
     )
@@ -329,25 +342,34 @@ def wave_advance(family: TagFamily, images, board_xy, first_id,
         & (ph2[..., 1].max(2) <= Hh - 1 + EDGE_MARGIN)
         & (0.5 * jnp.abs(area2b) >= MIN_QUAD_AREA)
     )
-    attempt2 = row_active[:, None] & ~acc & h2_ok & inb2
+    # unconverged pass-1 accepts restart from their OWN refined quad (a
+    # fresh refine resets the total-shift clamp); everything else starts
+    # from the same-frame neighbor-homography prediction
+    start2 = jnp.where(unconv[..., None, None], quads, ph2_t)
+    attempt2 = row_active[:, None] & (
+        unconv | (~acc & h2_ok & inb2)
+    )
     quads2 = refine_corners_mm(
-        maps, ph2_t.reshape(R, n_tags * 4, 2)
+        maps, start2.reshape(R, n_tags * 4, 2)
     ).reshape(R, n_tags, 4, 2)
     dec2 = _decode_core_dense(family, sharp, quads2, attempt2)
     id2 = dec2["tag_id"] == exp_id[None, :]
     ham2 = dec2["hamming"]
     out2_c = dec2["corners"]
+    disp2 = jnp.linalg.norm(quads2 - start2, axis=-1).max(axis=-1)
     # same acceptance as the cold board-assist pass (assist.assist_merge):
     # id match + relaxed hamming, NO contrast gate — the id match is the
     # strong test, and oblique rim tags legitimately run low-contrast.
     # Anything stricter here makes tracking hard-fail tags the cold
-    # pipeline recovers, and every such tag costs a cold audit.
+    # pipeline recovers, and every such tag costs a cold audit.  The one
+    # addition is the convergence gate (CONVERGED_MAX_DISP): a clamped
+    # refine's corners are untrusted no matter how well they decode.
     acc2 = (
         attempt2
         & id2
         & (ham2 <= family.max_hamming + TRACK_EXTRA_HAMMING)
+        & (disp2 < CONVERGED_MAX_DISP)
     )
-    disp2 = jnp.linalg.norm(quads2 - ph2_t, axis=-1).max(axis=-1)
     benign = (attempt2 & ~acc2 & id2 & (disp2 < BENIGN_MAX_DISP)) | benign
     out_c = jnp.where(acc2[..., None, None], out2_c, out_c)
     acc = acc | acc2
