@@ -1011,6 +1011,14 @@ class TagDetector:
         # handful of frames.  Final guarantee: every tracking
         # hard-failure is benign (cold-equivalent by construction),
         # cold-audited on that very frame, or cold-confirmed absent.
+        #
+        # LIGHT suspects (1-2 flickering tags on an otherwise healthy
+        # frame; their recall feeds no carry) ride the SAME per-round
+        # sweep instead of a trailing one — each extra cold group costs a
+        # fixed ~0.15-0.2 s of link latency, and folding them in cuts the
+        # audit group count from 3-4 to 1-2 on the 534-frame bench.  They
+        # are excluded from resweep-repair (a 1-tag flicker must not
+        # trigger a whole-row resweep, which could seed another round).
         rounds = 0
         while True:
             heavy: List[int] = []
@@ -1020,23 +1028,32 @@ class TagDetector:
                 novel = fails_at(f) - known_bad_at(f)
                 acc_n = int(g_acc[f].sum())
                 # 1-2 flickering tags on an otherwise healthy frame are
-                # LIGHT suspects — audited once in a single batched sweep
-                # after the repair rounds (auditing them per-round cost a
-                # ~0.5 s link-bound sweep each; their recall does not
-                # feed any carry, so nothing downstream depends on them)
-                # slack 4: a frame 1-3 tags under the anchor expectation
-                # with <3 novel hard failures is a light suspect (single
-                # batched sweep below) — auditing it per-round cost a
-                # serial ~200 ms cold group per FRAME for persistent
-                # single-tag flickers
+                # LIGHT suspects — swept alongside the heavy frames but
+                # excluded from resweep-repair.  slack 4: a frame 1-3
+                # tags under the anchor expectation with <3 novel hard
+                # failures is light
                 thr = max(
                     MIN_TRACK_TAGS, min(n_tags // 2, expected_at(f) - 4)
                 )
                 if len(novel) >= 3 or acc_n < thr:
                     heavy.append(f)
-            if not heavy:
+            heavy_set = set(heavy)
+            light = [
+                f
+                for f in range(B)
+                if f not in coldres
+                and f not in heavy_set
+                and (fails_at(f) - known_bad_at(f))
+            ]
+            if not heavy and not light:
                 break
             rounds += 1
+            # LIGHT suspects join a sweep only AFTER the round-1 resweeps
+            # ran (or when no heavy round is needed at all): a repaired
+            # carry re-tracks downstream frames and clears most 1-2-tag
+            # flickers for free (measured: sweeping lights before the
+            # resweep audited 81 frames where waiting audits 31).
+            merge_light = (not heavy) or rounds > 1
             # Audit only the LEADING suspect of each sweep row (plus any
             # row-less frame): downstream suspects usually ride the same
             # degraded carry, and the re-sweep from the repaired frame
@@ -1044,11 +1061,13 @@ class TagDetector:
             # failure (an oblique/rim stretch where decode struggles),
             # the row's remaining frames go straight to cold in this
             # round — repair-and-resweep would just re-fail.
-            if rounds > 2:
+            if rounds > 1:
                 # the lead-per-row policy pays off only while re-sweeps
-                # resolve downstream suspects wholesale; after two rounds
-                # whatever remains is flicker — audit it all in ONE
-                # batched sweep instead of one frame per round
+                # resolve downstream suspects wholesale; round 1 already
+                # audited every then-current suspect, so whatever remains
+                # came from its resweeps — audit it all in ONE batched
+                # sweep, with no further resweep (guarantees this is the
+                # final round)
                 lead = heavy
                 no_resweep = set(range(-1, 2 * len(segs)))
             else:
@@ -1077,12 +1096,16 @@ class TagDetector:
                                 for ff in row_frames[r][pos_of[f] + 1 :]
                                 if ff not in coldres
                             )
+            lead_set = set(lead)
+            if merge_light:
+                lead.extend(f for f in light if f not in lead_set)
             self.stats["trigger_frames"] += len(lead)
             for f in lead:
                 self.stats.setdefault("trigger_log", []).append(
                     (f, sorted(fails_at(f) - known_bad_at(f)))
                 )
             coldres.update(cold_sweep(lead, "detect/track-audit"))
+            light_set = set(light) - lead_set
             improved: List[int] = []
             for f in lead:
                 added = any(t not in results[f] for t in coldres[f])
@@ -1090,7 +1113,7 @@ class TagDetector:
                     if (t + first) not in coldres[f]:
                         st["known_bad"][t] = g0 + f
                 write_result(f)
-                if added:
+                if added and f not in light_set:
                     improved.append(f)
             best: Dict[int, int] = {}  # row -> earliest improved frame
             for f in improved:
@@ -1109,27 +1132,6 @@ class TagDetector:
             if jobs:
                 self.stats["resweeps"] = self.stats.get("resweeps", 0) + len(jobs)
                 run_resweeps(jobs)
-
-        # final sweep over the LIGHT suspects (single batch, no repair):
-        # completes the guarantee that every non-benign hard failure is
-        # either cold-audited on its frame or cold-confirmed absent
-        light = [
-            f
-            for f in range(B)
-            if f not in coldres and (fails_at(f) - known_bad_at(f))
-        ]
-        if light:
-            self.stats["trigger_frames"] += len(light)
-            for f in light:
-                self.stats.setdefault("trigger_log", []).append(
-                    (f, sorted(fails_at(f) - known_bad_at(f)))
-                )
-            coldres.update(cold_sweep(light, "detect/track-audit"))
-            for f in light:
-                for t in fails_at(f):
-                    if (t + first) not in coldres[f]:
-                        st["known_bad"][t] = g0 + f
-                write_result(f)
 
         st["prev"] = (results[B - 3], results[B - 2], results[B - 1])
         st["frame_idx"] += B
