@@ -151,8 +151,13 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
         assert result is not None, "calibration failed"
         return batch, result
 
-    # warmup: populate all jit caches (detector graphs, RANSAC, PnP, BA)
+    # warmup: populate all jit caches (detector graphs, RANSAC, PnP, BA).
+    # Stage-attributed: warmup - timed-run stage time = first-call
+    # compile/load latency per stage (the prewarm coverage gap).
     print(f"[{size}] warmup run (compiles)...", file=sys.stderr)
+    if collect_stages:
+        profiling.enable()
+        profiling.reset()
     t0 = time.perf_counter()
     try:
         batch, (model, rtvecs) = pipeline(key(0))
@@ -166,6 +171,13 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
         batch, (model, rtvecs) = pipeline(key(0))
     warm = time.perf_counter() - t0
     print(f"[{size}] warmup: {warm:.1f}s", file=sys.stderr)
+    if collect_stages:
+        wstages = profiling.totals()
+        for name in sorted(wstages, key=lambda k: -wstages[k]):
+            print(
+                f"  warmup stage {name:24s} {wstages[name]:7.3f}s",
+                file=sys.stderr,
+            )
 
     # timed runs: best of 3 (the remote-TPU link has high latency variance)
     if collect_stages:

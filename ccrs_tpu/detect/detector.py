@@ -227,6 +227,21 @@ class TagDetector:
         # cold-fallback group size: a small dedicated graph shape so
         # correcting a few frames never pays a full-chunk threshold/CCL
         self.cold_chunk = int(os.environ.get("CCRS_TRACK_COLD_CHUNK", "8"))
+        # sparse-board cold-direct threshold (fraction of the board the
+        # bracketing anchors must see for a segment to be wave-tracked;
+        # below it the segment cold-detects up front — see
+        # _detect_batch_tracked).  Measured on the 534-frame bench (CPU
+        # policy twin): 0.45 -> 0.30 cuts total cold frames 144 -> 116
+        # (the +30 audit triggers ride existing sweep groups — group
+        # count stays 4) and recall IMPROVES (+33 (frame,tag) pairs, -0):
+        # the wave predictor holds rim tags on partially-visible boards
+        # that the cold candidate stages drop.  0.45 was tuned when every
+        # audit round cost its own serial cold group; the batched-sweep
+        # audit consolidation changed the tradeoff.  Below 0.30 nothing
+        # changes (the MIN_TRACK_TAGS+2 floor takes over).
+        self.sparse_frac = float(
+            os.environ.get("CCRS_TRACK_SPARSE_FRAC", "0.30")
+        )
         self._tstate = None
 
     def reset_tracking(self) -> None:
@@ -754,14 +769,15 @@ class TagDetector:
         n_list = [pR - pL - 3 for pL, pR in segs]
 
         # Sparse-board segments go COLD-DIRECT: when the bracketing
-        # anchors themselves see under ~45% of the board, the board is
-        # partially out of view — homography extrapolation from few
-        # tightly-packed rim neighbors collapses there (measured: frames
-        # 218-300 of the bench sweep produced 40+ audit triggers and
-        # whole-row cold fallbacks anyway).  Detecting those frames in
-        # the big pipelined cold chunk up front is strictly cheaper than
-        # waving + auditing them 8 at a time.
-        sparse_thr = max(MIN_TRACK_TAGS + 2, int(0.45 * n_tags))
+        # anchors themselves see under ~sparse_frac of the board, the
+        # board is partially out of view — homography extrapolation from
+        # few tightly-packed rim neighbors collapses there, and the
+        # audit triggers such a segment generates cost more than
+        # detecting it in the big pipelined cold chunk up front (see
+        # sparse_frac in __init__ for the measured threshold tradeoff).
+        sparse_thr = max(
+            MIN_TRACK_TAGS + 2, int(self.sparse_frac * n_tags)
+        )
         cold_direct: set = set()
         for si, (pL, pR) in enumerate(segs):
             cl = max(len(resmap.get(pL + k, {})) for k in range(3))

@@ -247,6 +247,9 @@ class BAResult(NamedTuple):
     poses: jnp.ndarray  # (F, 6) rvec|tvec
     cost: jnp.ndarray
     n_iters: jnp.ndarray
+    # polish-stage share of n_iters (mixed solvers only; 0 for a plain
+    # single-precision solve) — iteration-budget diagnostics
+    n_polish: jnp.ndarray | int = 0
 
 
 def expand_theta(theta, one_focal: bool):
@@ -486,7 +489,9 @@ def ba_solve_mixed(
         one_focal=one_focal, max_iters=polish_iters, huber_delta=huber_delta,
         rtol=polish_rtol(), jac_f32=polish_jac_f32,
     )
-    return BAResult(s2.theta, s2.poses, s2.cost, s1.n_iters + s2.n_iters)
+    return BAResult(
+        s2.theta, s2.poses, s2.cost, s1.n_iters + s2.n_iters, s2.n_iters
+    )
 
 
 # --------------------------------------------------------------------------
