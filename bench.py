@@ -137,8 +137,18 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     times = list(range(n_frames))
 
     def pipeline(key):
+        from ccrs_tpu.calib.pipeline import SpeculativeCalib
+
         # each run is an independent dataset pass: drop the video carry
         detector.reset_tracking()
+        # speculative calibration overlaps the detector's audit sweeps;
+        # the final solve warm-starts from it but still runs to full
+        # convergence on the final detections (gated identically)
+        spec = SpeculativeCalib(
+            board, times, zeros_like_model("eucm"), CalibParams(), key,
+            size, size,
+        )
+        detector.on_provisional = spec.on_provisional
         dets = detector.detect_batch(imgs, board=board, dev_images=dev_imgs)
         batch = FrameBatch.from_detections(dets, times, board, size, size)
         # the product retry ladder (random frame re-pick on failure), same
@@ -146,7 +156,8 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
         # is focal-degenerate (pure-translation-like), which the reference
         # handles identically (bin/camera_calibration.rs:217-242)
         result = calibrate_camera_with_retries(
-            board, batch, zeros_like_model("eucm"), CalibParams(), key
+            board, batch, zeros_like_model("eucm"), CalibParams(), key,
+            warm_provider=spec.take,
         )
         assert result is not None, "calibration failed"
         return batch, result
@@ -256,11 +267,19 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
         host_imgs = np.asarray(dev_imgs).astype(np.uint8)
 
         def pipeline_host(key):
+            from ccrs_tpu.calib.pipeline import SpeculativeCalib
+
             detector.reset_tracking()
+            spec = SpeculativeCalib(
+                board, times, zeros_like_model("eucm"), CalibParams(), key,
+                size, size,
+            )
+            detector.on_provisional = spec.on_provisional
             dets = detector.detect_batch(host_imgs, board=board)
             batch = FrameBatch.from_detections(dets, times, board, size, size)
             result = calibrate_camera_with_retries(
-                board, batch, zeros_like_model("eucm"), CalibParams(), key
+                board, batch, zeros_like_model("eucm"), CalibParams(), key,
+                warm_provider=spec.take,
             )
             assert result is not None, "host-path calibration failed"
             return batch, result

@@ -168,7 +168,9 @@ def _try_init_device(
     theta2 = jnp.stack([params1[0], params1[2], params1[3], params1[4]])
     res2, frame_valid = _calib_camera_device(
         unproject_ucm, project_ucm, theta2, params1, p2d, masks, p3d,
-        lo2, hi2, free2, one_focal=True,
+        lo2, hi2, free2,
+        jnp.zeros((p2d.shape[0], 6), dtype), jnp.zeros(p2d.shape[0], dtype),
+        one_focal=True,
     )
     params = expand_theta(res2.theta, True)
     ok = (

@@ -40,7 +40,29 @@ def init_and_calibrate_one_camera(
     key,
     random_pick_two_frames: bool = False,
     rng=None,
+    warm=None,
 ) -> Optional[Tuple[GenericModel, Dict[int, RvecTvec]]]:
+    """``warm``: optional (model, poses (F,6), pose_valid (F,),
+    init_frames) from a speculative calibration on provisional
+    detections (SpeculativeCalib) — skips init+convert and seeds the
+    final BA, which still runs to full convergence on ``batch``."""
+    if warm is not None:
+        final_model, warm_poses, warm_valid, init_frames = warm
+        init_and_calibrate_one_camera.last_init_frames = init_frames
+        one_focal = calib_params.one_focal or (
+            calib_params.fixed_focal is not None
+        )
+        fixed_focal = calib_params.fixed_focal is not None
+        with stage("calib/ba"):
+            result = calib_camera(
+                board, batch, final_model,
+                xy_same_focal=one_focal,
+                disabled_distortions=calib_params.disabled_distortion_num,
+                fixed_focal=fixed_focal,
+                warm_poses=warm_poses, warm_valid=warm_valid,
+            )
+        return _gate_result(board, batch, result)
+
     frame0, frame1 = find_best_two_frames(batch, random_pick_two_frames, rng)
     log.info("init frames: %d, %d", frame0, frame1)
     # recorded for the caller's Rerun keyframe markers
@@ -97,15 +119,19 @@ def init_and_calibrate_one_camera(
             disabled_distortions=calib_params.disabled_distortion_num,
             fixed_focal=fixed_focal,
         )
+    return _gate_result(board, batch, result)
+
+
+def _gate_result(board, batch, result):
+    """Sanity gate (improvement over the reference, which only retries on
+    solver failure): a "converged" solution with huge reprojection error
+    usually means the init was degenerate — report failure so the retry
+    ladder picks new frames instead of shipping garbage.  The gated
+    result is still attached so the caller can fall back to the best
+    attempt when every retry fails (e.g. the requested model simply
+    cannot fit the data — pinned distortion on a fisheye)."""
     if result is None:
         return None
-    # Sanity gate (improvement over the reference, which only retries on
-    # solver failure): a "converged" solution with huge reprojection error
-    # usually means the init was degenerate — report failure so the retry
-    # ladder picks new frames instead of shipping garbage.  The gated
-    # result is still attached so the caller can fall back to the best
-    # attempt when every retry fails (e.g. the requested model simply
-    # cannot fit the data — pinned distortion on a fisheye).
     from .validate import reprojection_errors
 
     model, rtvecs = result
@@ -132,9 +158,16 @@ def calibrate_camera_with_retries(
     calib_params: CalibParams,
     key,
     seed: int = 0,
+    warm_provider=None,
 ) -> Tuple[GenericModel, Dict[int, RvecTvec]]:
     """<=3 trials; retries pick random init frames
     (bin/camera_calibration.rs:217-242).
+
+    ``warm_provider``: optional zero-arg callable returning a warm tuple
+    (see init_and_calibrate_one_camera) or None — typically
+    ``SpeculativeCalib.take``.  Only trial 0 uses it; if the warm-seeded
+    solve fails the sanity gate, the retry ladder continues cold exactly
+    as before.
 
     If every trial is rejected only by the reprojection sanity gate (the
     solve converged but the requested model cannot represent the data,
@@ -144,13 +177,18 @@ def calibrate_camera_with_retries(
     Raises only when no trial produced a solution at all."""
     rng = np.random.default_rng(seed)
     best_gated = None
-    for trial in range(MAX_TRIALS):
+    warm = warm_provider() if warm_provider is not None else None
+    # the warm attempt is a BONUS trial: if it fails the gate, the full
+    # cold ladder still runs exactly as without speculation
+    trials = ([None] if warm is not None else []) + list(range(MAX_TRIALS))
+    for trial in trials:
         with cpu_scope():
             key, sub = jax.random.split(key)
         init_and_calibrate_one_camera.last_gated = None
         result = init_and_calibrate_one_camera(
             board, batch, target_model, calib_params, sub,
-            random_pick_two_frames=trial > 0, rng=rng,
+            random_pick_two_frames=trial is not None and trial > 0, rng=rng,
+            warm=warm if trial is None else None,
         )
         if result is not None:
             return result
@@ -173,3 +211,85 @@ def calibrate_camera_with_retries(
         init_and_calibrate_one_camera.last_init_frames = best_gated[2]
         return best_gated[1]
     raise RuntimeError(f"Failed to calibrate camera after {MAX_TRIALS} trials")
+
+
+class SpeculativeCalib:
+    """Overlap calibration with the detector's audit rounds.
+
+    The wave-tracking detector produces PROVISIONAL per-frame detections
+    before its cold audit sweeps run (``TagDetector.on_provisional``);
+    the audits only correct a handful of frames, so a calibration solved
+    on the provisional data lands within the final optimum's convergence
+    basin.  This class runs init + convert + full BA on a background
+    thread while the audits' link-bound sweeps proceed, then hands the
+    result to ``calibrate_camera_with_retries(warm_provider=...)`` as a
+    warm start: the FINAL solve still runs on the FINAL detections to
+    full convergence (same solver, same gates), it just starts a few
+    LM steps from the optimum instead of from scratch.
+
+    The thread only blocks on device RPCs (GIL released), so on the
+    1-core host it interleaves with the audits' host bookkeeping.
+
+    Usage:
+        spec = SpeculativeCalib(board, times, target_model, params, key, w, h)
+        detector.on_provisional = spec.on_provisional
+        dets = detector.detect_batch(...)
+        batch = FrameBatch.from_detections(dets, ...)
+        result = calibrate_camera_with_retries(
+            board, batch, model, params, key, warm_provider=spec.take)
+    """
+
+    def __init__(
+        self, board, times, target_model, calib_params, key, width, height
+    ):
+        self._args = (board, times, target_model, calib_params, key,
+                      width, height)
+        self._thread = None
+        self._warm = None
+
+    def on_provisional(self, results) -> None:
+        """Detector hook: ``results`` is the provisional detection list
+        (one {tag_id: corners} dict per frame).  Snapshot and solve on a
+        daemon thread."""
+        import threading
+
+        if self._thread is not None:  # one speculation per batch
+            return
+        snapshot = [dict(r) for r in results]
+        self._thread = threading.Thread(
+            target=self._run, args=(snapshot,), daemon=True
+        )
+        self._thread.start()
+
+    def _run(self, results) -> None:
+        from ..utils.profiling import stage_prefix
+
+        board, times, target_model, calib_params, key, w, h = self._args
+        try:
+            with stage_prefix("spec/"):
+                batch = FrameBatch.from_detections(results, times, board, w, h)
+                res = init_and_calibrate_one_camera(
+                    board, batch, target_model, calib_params, key
+                )
+            if res is None:
+                return
+            model, rtvecs = res
+            F = batch.p2d.shape[0]
+            poses = np.zeros((F, 6), np.float64)
+            valid = np.zeros((F,), np.float64)
+            for i, rt in rtvecs.items():
+                poses[i, :3], poses[i, 3:] = rt.rvec, rt.tvec
+                valid[i] = 1.0
+            self._warm = (
+                model, poses, valid,
+                init_and_calibrate_one_camera.last_init_frames,
+            )
+        except Exception:  # pragma: no cover - speculation must not fail
+            log.exception("speculative calibration failed; running cold")
+
+    def take(self):
+        """Join the speculation thread and return the warm tuple (or
+        None when the speculation never started or failed)."""
+        if self._thread is not None:
+            self._thread.join()
+        return self._warm

@@ -127,6 +127,8 @@ def prewarm_calibration(
         lo,
         hi,
         np.asarray(free, np.float64),
+        np.zeros((F, 6), np.float64),
+        np.zeros((F,), np.float64),
         one_focal=one_focal,
     )
     res.cost.block_until_ready()

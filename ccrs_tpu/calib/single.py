@@ -9,6 +9,8 @@ frame skip expressed as a frame mask.
 
 from __future__ import annotations
 
+import os
+import sys
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -87,12 +89,21 @@ _pose_init_device = partial(jax.jit, static_argnames=("unproj",))(_pose_init_cor
 )
 def _calib_camera_device(
     unproj, project_fn, theta0, params_full, p2d, mask, p3d, lo, hi, free,
+    warm_poses, warm_valid,
     one_focal: bool, max_iters: int = 60, huber_delta: float = 1.0,
 ):
     """Whole single-camera calibration as ONE device graph:
     unproject -> planar-PnP pose init -> mixed-precision Schur LM bundle
     adjustment (f32 bulk descent + f64 polish; halves the dispatch
     round-trips of calib_camera and skips most emulated-f64 iterations).
+
+    ``warm_poses``/``warm_valid``: optional per-frame pose warm start
+    (the speculative calibration that overlaps the detector's audit
+    rounds seeds the final solve with its result).  Frames with
+    warm_valid=0 fall back to the PnP init; an all-zero warm_valid is
+    bit-identical to the cold solve, so cold and warm share this ONE
+    compiled graph (a dedicated warm graph would be another remote
+    executable load at warmup).
 
     The pose init stays in f64: an f32 variant (now compilable since the
     PnP became Cholesky-only and its GN polish carries the rotation as a
@@ -101,6 +112,7 @@ def _calib_camera_device(
     because the f64 polish budget is sized for f64-quality seeds."""
     poses0, frame_valid = _pose_init_core(unproj, params_full, p2d, mask, p3d)
     frame_valid = frame_valid * (jnp.sum(mask, axis=1) > 0)
+    poses0 = jnp.where((warm_valid > 0)[:, None], warm_poses, poses0)
     res = ba_solve_mixed(
         project_fn, theta0, poses0, p3d, p2d, mask.astype(theta0.dtype),
         lo, hi, free, frame_valid,
@@ -133,8 +145,14 @@ def calib_camera(
     xy_same_focal: bool,
     disabled_distortions: int,
     fixed_focal: bool,
+    warm_poses: Optional[np.ndarray] = None,
+    warm_valid: Optional[np.ndarray] = None,
 ) -> Optional[Tuple[GenericModel, Dict[int, RvecTvec]]]:
     """Full single-camera BA (``src/util.rs:384-490``).
+
+    ``warm_poses`` (F,6) / ``warm_valid`` (F,): optional pose warm start
+    (see _calib_camera_device); pass the speculative solve's poses to
+    seed the final one.  The intrinsics warm start rides ``camera``.
 
     Returns (calibrated model, {frame_idx: board->camera pose}) or None.
     """
@@ -151,6 +169,10 @@ def calib_camera(
     lo = np.where(free == 0.0, -np.inf, lo)
     hi = np.where(free == 0.0, np.inf, hi)
 
+    F = batch.p2d.shape[0]
+    if warm_poses is None:
+        warm_poses = np.zeros((F, 6), np.float64)
+        warm_valid = np.zeros((F,), np.float64)
     # numpy operands: the jit transfers them; eager jnp casts here each
     # compiled a one-op graph on the remote backend (utils/host.py)
     res, frame_valid_j = _calib_camera_device(
@@ -164,9 +186,17 @@ def calib_camera(
         np.asarray(lo),
         np.asarray(hi),
         np.asarray(free, np.float64),
+        np.asarray(warm_poses, np.float64),
+        np.asarray(warm_valid, np.float64),
         one_focal=xy_same_focal,
     )
     frame_valid = np.asarray(frame_valid_j)
+    if os.environ.get("CCRS_TIMING"):
+        print(
+            f"[ba] iters total={int(res.n_iters)} "
+            f"polish={int(np.asarray(res.n_polish))}",
+            file=sys.stderr,
+        )
     if frame_valid.sum() == 0 or not np.isfinite(float(res.cost)):
         return None
     theta, poses = res.theta, res.poses

@@ -28,10 +28,13 @@ chunk and to overlap host work with device work:
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 from ..utils.profiling import stage
 from .decode import refine_decode_fused_dense
@@ -62,6 +65,34 @@ def _stack_outs(outs):
     graph — the eager per-field jnp.stack compiled its own broadcast +
     concatenate one-op graphs (remote loads each on the TPU backend)."""
     return tuple(jnp.stack(x) for x in zip(*outs))
+
+
+def _quad_rung(need: int) -> int:
+    """Smallest rung of the ~1.5x, 8-aligned quad-bucket ladder
+    (8, 16, 24, 40, 64, 96, 144, 216, ...) that fits ``need`` quads."""
+    m = 8
+    while m < need:
+        m = -(-m * 3 // 2 // 8) * 8
+    return m
+
+
+def _anchor_starts(B: int, K: int, p0: int) -> List[int]:
+    """Anchor-triple start frames for a B-frame batch at cadence K,
+    beginning at p0 (0 unless a streaming carry aligns to the global
+    grid).  Shared by _detect_batch_tracked and prewarm(): the wave
+    count and row bucket derived from this layout key compiled graph
+    shapes, so the two MUST stay in lockstep."""
+    starts: List[int] = []
+    p = p0
+    while p <= B - 3:
+        starts.append(p)
+        p += K
+    if not starts or starts[-1] != B - 3:
+        # force an anchor at the tail so every frame sits in a segment
+        if starts and B - 3 - starts[-1] < 3:
+            starts.pop()
+        starts.append(B - 3)
+    return starts
 
 
 @_jax.jit
@@ -218,12 +249,15 @@ class TagDetector:
         # anchor-triple cadence: force cold (full-pipeline) frames at least
         # this often, bounding the staleness of the tracking fallback
         # policy's occlusion memory.  Measured on the 534-frame bench
-        # sequence (CPU twin): K=32 cuts cold frames 185 -> 142 with
-        # triggers flat (28 -> 30) and slightly BETTER recall (+116
-        # (frame,tag) pairs — tracked frames beat cold recall on rim
-        # tags); K=48 backfires (long segments straddle sparse regions and
-        # fall to cold-direct wholesale: 188 cold frames).
-        self.cold_every = int(os.environ.get("CCRS_TRACK_COLD_EVERY", "32"))
+        # sequence (CPU twin, sparse_frac=0.30): K=40 beats K=32 — one
+        # fewer serial cold group (3 vs 4; each group is ~0.15-0.2 s of
+        # link latency), cold frames 116 -> 113, net recall +150
+        # (frame,tag) pairs (+238/-88; longer segments hold rim tags the
+        # cold candidate stages drop), at +4 device-cheap waves.  K=48
+        # backfires: +29 trigger frames, 3 repair resweeps, cold frames
+        # 130 (prediction drift at long cadences costs more audits than
+        # the anchors save).
+        self.cold_every = int(os.environ.get("CCRS_TRACK_COLD_EVERY", "40"))
         # cold-fallback group size: a small dedicated graph shape so
         # correcting a few frames never pays a full-chunk threshold/CCL
         self.cold_chunk = int(os.environ.get("CCRS_TRACK_COLD_CHUNK", "8"))
@@ -242,6 +276,10 @@ class TagDetector:
         self.sparse_frac = float(
             os.environ.get("CCRS_TRACK_SPARSE_FRAC", "0.30")
         )
+        # optional hook: called once per tracked batch with the
+        # PROVISIONAL results list right before the audit rounds (see
+        # _detect_batch_tracked; calib/pipeline.SpeculativeCalib)
+        self.on_provisional = None
         self._tstate = None
 
     def reset_tracking(self) -> None:
@@ -268,23 +306,25 @@ class TagDetector:
         scale = 2 if max(height, width) >= self.pyramid_min_side else 1
         # primary decode bucket: a board-driven dataset produces ~n_tags
         # (+ a little clutter) candidates per frame; seed the sticky
-        # bucket so the first real chunk reuses the warmed graph
+        # bucket so the first real chunk reuses the warmed graph, and
+        # warm the NEXT rung too — cluttered frames (double-erosion
+        # splits, background junk) grow the bucket one rung mid-run
         if board is not None:
-            self._mq = max(
-                getattr(self, "_mq", 8), -(-(board.n_tags + 4) // 8) * 8
-            )
+            self._mq = max(getattr(self, "_mq", 8), _quad_rung(board.n_tags + 4))
         Mq = getattr(self, "_mq", 8)
+        mq_rungs = [Mq, _quad_rung(Mq + 1)]
         tracked = board is not None and self.track and self.refine
         sizes = [self.chunk, self.cold_chunk]
         for C in sizes:
             b = jnp.zeros((C, height, width), jnp.uint8)
             threshold_front(b, scale).block_until_ready()
-            qq = jnp.zeros((C, Mq, 4, 2), jnp.float32)
-            qv = jnp.zeros((C, Mq), bool)
-            out = refine_decode_fused_dense(
-                self.family, b, qq, qv, do_refine=self.refine
-            )
-            out["valid"].block_until_ready()
+            for Mr in mq_rungs:
+                qq = jnp.zeros((C, Mr, 4, 2), jnp.float32)
+                qv = jnp.zeros((C, Mr), bool)
+                out = refine_decode_fused_dense(
+                    self.family, b, qq, qv, do_refine=self.refine
+                )
+                out["valid"].block_until_ready()
             if board is not None:
                 # the assist decode variant (reused sharp + maps): both
                 # rungs of the candidate bucket ladder
@@ -302,12 +342,21 @@ class TagDetector:
             from .track import init_wave_carry, wave_advance
 
             K = max(self.cold_every, 4)
+            Wmax = 1
             if n_frames is not None and n_frames >= 4:
                 # mirror the triple-anchor layout of _detect_batch_tracked
-                n_starts = len(range(0, n_frames - 2, K))
-                if (n_frames - 3) % K != 0:
-                    n_starts += 1
-                R = -(-2 * max(n_starts - 1, 1) // 8) * 8
+                # (no streaming carry on a fresh batch): row bucket AND
+                # wave count — both key compiled graph shapes
+                starts = _anchor_starts(n_frames, K, 0)
+                n_segs = max(len(starts) - 1, 1)
+                R = -(-2 * n_segs // 8) * 8
+                Wmax = max(
+                    (
+                        (b - a - 3 + 1) // 2
+                        for a, b in zip(starts[:-1], starts[1:])
+                    ),
+                    default=1,
+                )
             else:
                 R = 8
             self._wave_rows = max(R, getattr(self, "_wave_rows", 0))
@@ -327,16 +376,28 @@ class TagDetector:
                     carry, jnp.zeros(Rw, bool),
                 )
                 outs[1].block_until_ready()
-                # the per-wave output stack (one jitted graph per wave
-                # count — warm the 1-wave shape; longer stacks retrace
-                # but reuse the cached executable family) and ...
-                _stack_outs((tuple(outs),))
+                # the per-wave output stack is one jitted graph PER WAVE
+                # COUNT: warm the exact count the mirrored layout
+                # produces (the 19-wave stack of a 534-frame batch was a
+                # fresh remote compile inside the measured warmup run)
+                if Rw == self._wave_rows:
+                    _stack_outs(tuple(tuple(outs) for _ in range(Wmax)))[
+                        0
+                    ].block_until_ready()
+                else:
+                    _stack_outs((tuple(outs),))
             if n_frames is not None and n_frames > 0:
                 # ... the two fixed-shape frame gathers of the cold
                 # chunk plan, keyed on the full batch length: they are
                 # the first ops of the real detect call, and unwarmed
                 # they land in the measured first-run latency
                 dummy = jnp.zeros((n_frames, height, width), jnp.uint8)
+                # the per-wave row gather (R,) has its own graph shape
+                jnp.take(
+                    dummy,
+                    jnp.asarray(np.zeros(self._wave_rows, np.int32)),
+                    axis=0,
+                ).block_until_ready()
                 for C in {self.chunk, self.cold_chunk}:
                     idxs = np.zeros(min(C, n_frames) or 1, np.int32)
                     jnp.take(
@@ -415,9 +476,13 @@ class TagDetector:
         C = dev_chunk.shape[0]
         n_real = np.minimum(counts, quads.shape[1])
         need = int(n_real.max()) if n_real.size else 1
-        # grow-only in 8-quad steps: boundary-hovering per-frame counts
-        # must not flap the compiled decode shape
-        self._mq = max(getattr(self, "_mq", 8), -(-need // 8) * 8)
+        # grow-only on a ~1.5x geometric rung ladder (8, 16, 24, 40, 64,
+        # 96, ...): boundary-hovering per-frame counts must not flap the
+        # compiled decode shape, and the ladder caps the number of
+        # distinct decode graphs a dataset can create (each is a remote
+        # compile + per-run executable load) at ~2 — prewarm() warms the
+        # board rung AND the next one for clutter headroom
+        self._mq = max(getattr(self, "_mq", 8), _quad_rung(need))
         Mq = min(self._mq, quads.shape[1])
         qq = np.ascontiguousarray(quads[:, :Mq], np.float32)
         qv = np.arange(Mq)[None, :] < n_real[:, None]
@@ -746,15 +811,7 @@ class TagDetector:
         p = gp - g0
         if virtual is None and p != 0:
             p = 0  # no carry: the batch head needs an anchor
-        starts: List[int] = []
-        while p <= B - 3:
-            starts.append(p)
-            p += K
-        if not starts or starts[-1] != B - 3:
-            # force an anchor at the tail so every frame sits in a segment
-            if starts and B - 3 - starts[-1] < 3:
-                starts.pop()
-            starts.append(B - 3)
+        starts = _anchor_starts(B, K, p)
 
         anchor_frames = sorted(
             {f for q in starts for f in (q, q + 1, q + 2)}
@@ -790,13 +847,17 @@ class TagDetector:
             for f in range(max(segs[si][0] + 3, 0), segs[si][1])
             if f not in coldres
         )
-        Wmax = max(
-            (
-                (n + 1) // 2
-                for si, n in enumerate(n_list)
-                if si not in cold_direct
-            ),
-            default=0,
+        # Wave count over ALL segments (not just tracked ones): with it,
+        # Wmax is a deterministic function of (B, K, carry) that
+        # prewarm() can mirror — the per-wave-count _stack_outs graphs
+        # and the wave loop itself then hit warmed executables.  A
+        # cold-direct long segment can no longer shrink Wmax, but its
+        # rows are act=False (device-cheap), and the all-cold-direct
+        # case still skips the wave loop entirely.
+        Wmax = (
+            max(((n + 1) // 2 for n in n_list), default=0)
+            if len(cold_direct) < len(segs)
+            else 0
         )
 
         g_cor = np.zeros((B, n_tags, 4, 2), np.float32)
@@ -933,6 +994,16 @@ class TagDetector:
         for f in range(B):
             write_result(f)
 
+        # Provisional-results hook: detections are complete up to audit
+        # corrections from here on, so a caller-registered callback (the
+        # speculative calibration, calib/pipeline.SpeculativeCalib) can
+        # overlap its solve with the link-bound audit sweeps below.
+        if self.on_provisional is not None:
+            try:
+                self.on_provisional([dict(r) for r in results])
+            except Exception:  # pragma: no cover - hook must not break detect
+                log.exception("on_provisional hook failed")
+
         def fails_at(f: int) -> set:
             return set(
                 int(t)
@@ -969,7 +1040,10 @@ class TagDetector:
                 -(-len(jobs) // 8) * 8, getattr(self, "_wave_rows_small", 8)
             )
             self._wave_rows_small = R2
-            W2 = max(len(fl) for fl, _ in jobs)
+            # wave count bucketed to multiples of 4: it keys the wave
+            # loop's stack graph, and the raw max row length is
+            # data-dependent (padded waves carry act=False rows)
+            W2 = -(-max(len(fl) for fl, _ in jobs) // 4) * 4
             f_of = np.zeros((W2, R2), np.int32)
             a2 = np.zeros((W2, R2), bool)
             c1 = np.zeros((R2, n_tags, 4, 2), np.float32)
@@ -996,9 +1070,9 @@ class TagDetector:
                         carry, jnp.asarray(a2[w]),
                     )
                     outs.append(out)
-                stacked2 = tuple(
-                    jnp.stack([o[k] for o in outs]) for k in range(4)
-                )
+                # jitted stack (one graph per W2 bucket; the eager
+                # per-field jnp.stack compiled one-op graphs)
+                stacked2 = _stack_outs(tuple(tuple(o) for o in outs))
                 _async_fetch(stacked2)
                 fetched = tuple(np.asarray(s) for s in stacked2)
             oc, ac, at, bn = fetched

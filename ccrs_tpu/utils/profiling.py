@@ -15,11 +15,13 @@ import atexit
 import collections
 import contextlib
 import os
+import threading
 import time
 
 _ENABLED = os.environ.get("CCRS_TIMING", "") not in ("", "0")
 _totals: dict = collections.defaultdict(float)
 _counts: dict = collections.defaultdict(int)
+_tls = threading.local()
 
 
 @contextlib.contextmanager
@@ -28,6 +30,7 @@ def stage(name: str):
     if not _ENABLED:
         yield
         return
+    name = getattr(_tls, "prefix", "") + name
     t0 = time.perf_counter()
     try:
         yield
@@ -35,6 +38,19 @@ def stage(name: str):
         dt = time.perf_counter() - t0
         _totals[name] += dt
         _counts[name] += 1
+
+
+@contextlib.contextmanager
+def stage_prefix(prefix: str):
+    """Prefix stage names on the CURRENT thread (e.g. "spec/" for the
+    speculative calibration so its overlapped wall-clock is not
+    conflated with the critical-path calib stages)."""
+    prev = getattr(_tls, "prefix", "")
+    _tls.prefix = prev + prefix
+    try:
+        yield
+    finally:
+        _tls.prefix = prev
 
 
 def report() -> str:
