@@ -679,7 +679,18 @@ class TagDetector:
                 from .assist import assist_candidates
 
                 with stage("detect/assist"):
-                    aq, av, aexp = assist_candidates(board, chunk_results, W, H)
+                    # candidate buffers must span the PADDED chunk (the
+                    # fused decode vmaps them against dev_chunks[ci]); a
+                    # padded tail chunk (nb < C) with assist work
+                    # otherwise crashes the vmap with mismatched leading
+                    # dims.  Padding rows are empty dicts -> no
+                    # candidates -> exp_id -1, which the merge ignores.
+                    C_pad = dev_chunks[ci].shape[0]
+                    aq, av, aexp = assist_candidates(
+                        board,
+                        chunk_results + [{}] * (C_pad - len(chunk_results)),
+                        W, H,
+                    )
                     if aq is not None:
                         aout = refine_decode_fused_dense(
                             self.family, dev_chunks[ci], jnp.asarray(aq),

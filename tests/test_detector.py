@@ -332,3 +332,34 @@ def test_mixed_chunk_plan_matches_natural(synth_view, monkeypatch):
             # sub-millipixel: chunk shape changes XLA fusion order and the
             # iterative refine amplifies the reassociation noise slightly
             np.testing.assert_allclose(o[tid], r[tid], atol=5e-3)
+
+
+def test_padded_tail_chunk_with_assist_work(monkeypatch):
+    """A padded tail chunk (nb < chunk size) whose frames have assist
+    work (missing tags on a partially-visible board) must not crash the
+    fused assist decode: the candidate buffers must span the PADDED
+    chunk, not just the real frames (regression: vmap mismatch 5 vs 8)."""
+    monkeypatch.setenv("CCRS_FORCE_CHUNK_PLAN", "1")
+    board = create_default_6x6_board()
+    fam = get_family("t36h11")
+    model = GenericModel(
+        "eucm", [190.9, 190.87, 254.94, 256.86, 0.628, 1.046], 512, 512
+    )
+    base = jnp.asarray(front_view_base())
+    rv, _ = se3.compose(
+        jnp.asarray([0.55, -0.35, 0.1]), jnp.zeros(3), base, jnp.zeros(3)
+    )
+    rvec = np.asarray(rv)
+    R = np.asarray(se3.exp_so3(jnp.asarray(rvec)))
+    # shifted well off-center: part of the board leaves the view, so the
+    # frames keep >= MIN_TAGS_FOR_ASSIST detections but miss tags
+    t = np.array([0.13, 0.1, 0.38]) - R @ board.p3d.mean(0)
+    img = render_board_image(model, board, fam, rvec, t)
+    imgs = np.stack([img] * 5)  # 5 real frames -> one 8-chunk, 3 padded
+    det = TagDetector("t36h11", track=False)
+    res = det.detect_batch(imgs, board=board)
+    assert len(res) == 5
+    n = len(res[0])
+    assert 8 <= n < board.n_tags, f"need a partial board, got {n} tags"
+    for r in res[1:]:
+        assert set(r) == set(res[0])
