@@ -312,7 +312,10 @@ class TagDetector:
         if board is not None:
             self._mq = max(getattr(self, "_mq", 8), _quad_rung(board.n_tags + 4))
         Mq = getattr(self, "_mq", 8)
-        mq_rungs = [Mq, _quad_rung(Mq + 1)]
+        # board rung + two clutter rungs: partial-board frames with
+        # double-erosion junk were measured ratcheting the sticky bucket
+        # two rungs past the board size (36-tag board -> 96 quads)
+        mq_rungs = [Mq, _quad_rung(Mq + 1), _quad_rung(_quad_rung(Mq + 1) + 1)]
         tracked = board is not None and self.track and self.refine
         sizes = [self.chunk, self.cold_chunk]
         for C in sizes:
