@@ -41,11 +41,14 @@ def init_and_calibrate_one_camera(
     random_pick_two_frames: bool = False,
     rng=None,
     warm=None,
+    polish_iters: int = 12,
 ) -> Optional[Tuple[GenericModel, Dict[int, RvecTvec]]]:
     """``warm``: optional (model, poses (F,6), pose_valid (F,),
     init_frames) from a speculative calibration on provisional
     detections (SpeculativeCalib) — skips init+convert and seeds the
-    final BA, which still runs to full convergence on ``batch``."""
+    final BA, which still runs to full convergence on ``batch``.
+    ``polish_iters``: f64 polish budget passed to the BA (the
+    speculative solve truncates it; its output is only a seed)."""
     if warm is not None:
         final_model, warm_poses, warm_valid, init_frames = warm
         init_and_calibrate_one_camera.last_init_frames = init_frames
@@ -118,6 +121,7 @@ def init_and_calibrate_one_camera(
             xy_same_focal=one_focal,
             disabled_distortions=calib_params.disabled_distortion_num,
             fixed_focal=fixed_focal,
+            polish_iters=polish_iters,
         )
     return _gate_result(board, batch, result)
 
@@ -268,8 +272,14 @@ class SpeculativeCalib:
         try:
             with stage_prefix("spec/"):
                 batch = FrameBatch.from_detections(results, times, board, w, h)
+                # truncated f64 polish: the speculative output is only a
+                # SEED for the final solve, which re-polishes in full —
+                # the polish is the emulated-f64 (expensive) stage, and 2
+                # iterations keep the seed well inside the final solve's
+                # convergence basin while roughly halving the spec solve
                 res = init_and_calibrate_one_camera(
-                    board, batch, target_model, calib_params, key
+                    board, batch, target_model, calib_params, key,
+                    polish_iters=2,
                 )
             if res is None:
                 return

@@ -116,19 +116,23 @@ def prewarm_calibration(
     F = n_frames
     p2d = rng.uniform(0, width, (F, N, 2))
     mask = np.ones((F, N), bool)
-    res, fv = _calib_camera_device(
-        unproject_fn(cam.name),
-        project_fn(cam.name),
-        theta0,
-        np.asarray(cam.params, np.float64),
-        p2d,
-        mask,
-        p3d,
-        lo,
-        hi,
-        np.asarray(free, np.float64),
-        np.zeros((F, 6), np.float64),
-        np.zeros((F,), np.float64),
-        one_focal=one_focal,
-    )
-    res.cost.block_until_ready()
+    # both polish budgets: 12 = the final solve, 2 = the speculative
+    # seed solve (calib/pipeline.SpeculativeCalib) — distinct executables
+    for pi in (12, 2):
+        res, fv = _calib_camera_device(
+            unproject_fn(cam.name),
+            project_fn(cam.name),
+            theta0,
+            np.asarray(cam.params, np.float64),
+            p2d,
+            mask,
+            p3d,
+            lo,
+            hi,
+            np.asarray(free, np.float64),
+            np.zeros((F, 6), np.float64),
+            np.zeros((F,), np.float64),
+            one_focal=one_focal,
+            polish_iters=pi,
+        )
+        res.cost.block_until_ready()

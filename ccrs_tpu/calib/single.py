@@ -85,12 +85,16 @@ _pose_init_device = partial(jax.jit, static_argnames=("unproj",))(_pose_init_cor
 
 @partial(
     jax.jit,
-    static_argnames=("unproj", "project_fn", "one_focal", "max_iters", "huber_delta"),
+    static_argnames=(
+        "unproj", "project_fn", "one_focal", "max_iters", "huber_delta",
+        "polish_iters",
+    ),
 )
 def _calib_camera_device(
     unproj, project_fn, theta0, params_full, p2d, mask, p3d, lo, hi, free,
     warm_poses, warm_valid,
     one_focal: bool, max_iters: int = 60, huber_delta: float = 1.0,
+    polish_iters: int = 12,
 ):
     """Whole single-camera calibration as ONE device graph:
     unproject -> planar-PnP pose init -> mixed-precision Schur LM bundle
@@ -117,6 +121,7 @@ def _calib_camera_device(
         project_fn, theta0, poses0, p3d, p2d, mask.astype(theta0.dtype),
         lo, hi, free, frame_valid,
         one_focal=one_focal, max_iters=max_iters, huber_delta=huber_delta,
+        polish_iters=polish_iters,
     )
     return res, frame_valid
 
@@ -147,12 +152,15 @@ def calib_camera(
     fixed_focal: bool,
     warm_poses: Optional[np.ndarray] = None,
     warm_valid: Optional[np.ndarray] = None,
+    polish_iters: int = 12,
 ) -> Optional[Tuple[GenericModel, Dict[int, RvecTvec]]]:
     """Full single-camera BA (``src/util.rs:384-490``).
 
     ``warm_poses`` (F,6) / ``warm_valid`` (F,): optional pose warm start
     (see _calib_camera_device); pass the speculative solve's poses to
     seed the final one.  The intrinsics warm start rides ``camera``.
+    ``polish_iters``: f64 polish budget — the SPECULATIVE solve truncates
+    it (its output is only a seed; the final solve re-polishes).
 
     Returns (calibrated model, {frame_idx: board->camera pose}) or None.
     """
@@ -189,6 +197,7 @@ def calib_camera(
         np.asarray(warm_poses, np.float64),
         np.asarray(warm_valid, np.float64),
         one_focal=xy_same_focal,
+        polish_iters=polish_iters,
     )
     frame_valid = np.asarray(frame_valid_j)
     if os.environ.get("CCRS_TIMING"):
