@@ -153,7 +153,14 @@ def test_track_carry_across_calls(bench_like_video):
 
 def test_wave_advance_graph_direct():
     """Unit-level: wave_advance decodes tags from an exact-prediction seed,
-    masks inactive rows, and reports acc <= att."""
+    masks inactive rows, and reports acc <= att.
+
+    NOTE: this test (and its neighbors) compiles fresh wave_advance
+    executables late in the suite, which used to crash the process: XLA:CPU
+    JIT code maps are never unmapped and the suite exhausts the kernel's
+    default vm.max_map_count — conftest.py raises the limit (or bypasses
+    the persistent cache when it can't).
+    """
     from ccrs_tpu.detect.track import (
         detections_to_arrays,
         init_wave_carry,
