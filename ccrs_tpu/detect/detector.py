@@ -318,9 +318,24 @@ class TagDetector:
         mq_rungs = [Mq, _quad_rung(Mq + 1), _quad_rung(_quad_rung(Mq + 1) + 1)]
         tracked = board is not None and self.track and self.refine
         sizes = [self.chunk, self.cold_chunk]
+        primed_d2h = False
         for C in sizes:
             b = jnp.zeros((C, height, width), jnp.uint8)
-            threshold_front(b, scale).block_until_ready()
+            tf = threshold_front(b, scale)
+            if not primed_d2h:
+                # prime the device->host TRANSFER path, not just the
+                # executables: the remote backend initializes its download
+                # path lazily on the first d2h copy, and that init was
+                # measured at 11-39 s (it dominated warmup_sec when the
+                # first real run paid it inside the anchor sweep's bitmap
+                # fetch; BENCH r04 notes).  One small fetch here moves it
+                # into the prewarm window, overlapped with rendering.
+                np.asarray(tf)
+                # ...and the host->device upload path, same rationale
+                jnp.asarray(np.zeros((8, 4, 2), np.float32)).block_until_ready()
+                primed_d2h = True
+            else:
+                tf.block_until_ready()
             for Mr in mq_rungs:
                 qq = jnp.zeros((C, Mr, 4, 2), jnp.float32)
                 qv = jnp.zeros((C, Mr), bool)
@@ -646,27 +661,26 @@ class TagDetector:
         wmul = _TILE * 8 // np.gcd(_TILE, 8)
         pw = sW + ((-sW) % wmul)
 
-        # Prefetch the packed bitmaps on a background thread: the link
-        # download of chunk i+1 overlaps the host quad extraction of
-        # chunk i (both are serial bottlenecks otherwise).
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = ThreadPoolExecutor(max_workers=1)
-        fetches = [pool.submit(np.asarray, p) for p in packed_chunks]
+        # Prefetch the packed bitmaps with device->host async copies: the
+        # copies enqueue behind each chunk's threshold compute and stream
+        # over the link while the host CCLs earlier chunks, so the
+        # np.asarray below is a free pickup (measured: 0.2 ms prefetched
+        # vs ~40-70 ms per synchronous fetch; an earlier 1-worker fetch
+        # pool still paid the sync cost serially per chunk).
+        _async_fetch(packed_chunks)
 
         # Phase 1: host quad extraction per chunk; enqueue fused
         # refine+decode (result fetched in phase 2 — device runs ahead).
         pending = []
         for ci in range(n_chunks):
             with stage("detect/threshold"):
-                packed = fetches[ci].result()  # (C, sHp, sWp/8)
+                packed = np.asarray(packed_chunks[ci])  # (C, sHp, sWp/8)
                 b1 = np.unpackbits(packed, axis=-1, count=pw)[:, :sH, :sW]
             with stage("detect/quadproc"):
                 quads, counts = self._extract_quads(b1, board, scale)
             with stage("detect/dispatch"):
                 out = self._dispatch_decode(dev_chunks[ci], quads, counts)
             pending.append(out)
-        pool.shutdown(wait=False)
 
         # Phase 2: fetch decode outputs; enqueue the assist decode.
         all_chunk_results: List[List[Dict[int, np.ndarray]]] = []
@@ -719,527 +733,11 @@ class TagDetector:
         return [r for chunk in all_chunk_results for r in chunk]
 
     # --------------------------------------------------- tracking fast path
-    def _detect_batch_tracked(self, dev_all, board) -> List[Dict[int, np.ndarray]]:
-        """Wave-tracking orchestration (see track.wave_advance for the
-        device kernel).
+    def _detect_batch_tracked(self, dev_all, board):
+        """Wave-tracking video fast path — see detect/tracked.py."""
+        from .tracked import detect_batch_tracked
 
-        Architecture: cold-detect anchor PAIRS every ``cold_every`` frames
-        (one small batched cold pass — pairs give each anchor an exact
-        velocity), then sweep every inter-anchor segment simultaneously:
-        wave w advances all segments' forward sweeps (from the left pair)
-        and backward sweeps (from the right pair) by one frame in ONE
-        fused device graph.  A 534-frame batch takes ~7 waves of ~70
-        rows x n_tags quads instead of 534 sequential 36-quad steps — the
-        TPU sees large batches, and the carry chains device-side with no
-        host sync until the final fetch.
-
-        Recall policy (audits keep the fast path anchored to the cold
-        pipeline):
-
-        * anchors ARE cold frames every ``cold_every`` — the cadence
-          audit of the old sequential design is structural here, and the
-          backward sweep recovers tags entering the view mid-segment
-          from the right anchor (staleness bound K/2, not K);
-        * a frame is SUSPECT when a tag with a valid in-bounds prediction
-          hard-failed (not benign — see track.py BENIGN_MAX_DISP — and
-          not known-bad) or too few tags were accepted; all suspects are
-          cold-verified in one batched post-hoc sweep and cold wins;
-        * known_bad = tags whose hard failure a cold audit confirmed
-          (occlusion, rim clipping); their later failures don't
-          re-trigger.  A novel failure stamps its tag immediately when
-          the frame is queued for audit, so a persistent blind spot
-          costs ONE audit, not one per frame; the tag still re-attempts
-          every frame and recovers at the next anchor at the latest.
-
-        The carry persists across detect_batch calls (the last two
-        frames' results seed the next call's first segment) so streaming
-        loaders keep tracking; reset_tracking() between unrelated
-        sequences.
-        """
-        from .track import (
-            MIN_TRACK_TAGS,
-            detections_to_arrays,
-            init_wave_carry,
-            wave_advance,
-        )
-
-        B, H, W = dev_all.shape
-        K = max(self.cold_every, 4)
-        n_tags = board.n_tags
-        first = board.config.first_id
-
-        st = self._tstate
-        if st is None or st["wh"] != (W, H) or st["board"] is not board:
-            st = self._tstate = {
-                "wh": (W, H), "board": board,
-                # (results[-2], results[-1]) of the previous call — the
-                # streaming carry that seeds the next call's first segment
-                "prev": None,
-                # tag -> global frame of the last cold CONFIRMATION that
-                # the tag is undetectable (see the class docstring)
-                "known_bad": {}, "frame_idx": 0,
-            }
-        self.stats = {"frames": B, "cold_frames": 0, "cold_groups": 0,
-                      "trigger_frames": 0, "waves": 0}
-        g0 = st["frame_idx"]
-
-        def cold_sweep(frames: List[int], tag: str):
-            """Cold-detect absolute frame indices (batched, pipelined).
-
-            Delegates frame selection to ``_detect_batch_cold``'s mixed
-            64+8 chunk plan via ``idx`` — each chunk is one fixed-shape
-            gather, so the pipeline only ever sees its two precompiled
-            shapes, and a 102-frame anchor sweep pays 104 frames of work
-            instead of 128 (padding frames cost full link + host-CCL
-            time)."""
-            with stage(tag):
-                res = self._detect_batch_cold(
-                    dev_all, board, idx=np.asarray(frames, np.int64)
-                )
-            self.stats["cold_frames"] += len(frames)
-            self.stats["cold_groups"] += 1
-            return dict(zip(frames, res))
-
-        if B < 4:
-            # too short to track: cold-only, but still feed the carry
-            coldres = cold_sweep(list(range(B)), "detect/track-cold")
-            results = [coldres[f] for f in range(B)]
-            if B >= 3:
-                st["prev"] = (results[-3], results[-2], results[-1])
-            else:
-                st["prev"] = None  # too short to re-seed a triple
-            st["frame_idx"] += B
-            return results
-
-        # ---- anchor triple layout (global cadence K) -------------------
-        # Triples (not pairs): the quadratic prediction needs THREE seed
-        # frames to engage at the first wave; constant-velocity seeding
-        # overruns the 4.5 px refine capture at measured handheld
-        # accelerations (3-4 px/frame^2 at the bench regime and far more
-        # on fast sweeps).
-        virtual = st["prev"] if (
-            st["prev"] is not None
-            and len(st["prev"][-1]) >= MIN_TRACK_TAGS
-        ) else None
-        gp = ((g0 + K - 1) // K) * K  # first grid anchor start >= g0
-        p = gp - g0
-        if virtual is None and p != 0:
-            p = 0  # no carry: the batch head needs an anchor
-        starts = _anchor_starts(B, K, p)
-
-        anchor_frames = sorted(
-            {f for q in starts for f in (q, q + 1, q + 2)}
-        )
-        coldres = cold_sweep(anchor_frames, "detect/track-cold")
-        resmap: Dict[int, Dict[int, np.ndarray]] = dict(coldres)
-        if virtual is not None:
-            resmap[-3], resmap[-2], resmap[-1] = virtual
-
-        all_starts = ([-3] if virtual is not None else []) + starts
-        segs = list(zip(all_starts[:-1], all_starts[1:]))
-        n_list = [pR - pL - 3 for pL, pR in segs]
-
-        # Sparse-board segments go COLD-DIRECT: when the bracketing
-        # anchors themselves see under ~sparse_frac of the board, the
-        # board is partially out of view — homography extrapolation from
-        # few tightly-packed rim neighbors collapses there, and the
-        # audit triggers such a segment generates cost more than
-        # detecting it in the big pipelined cold chunk up front (see
-        # sparse_frac in __init__ for the measured threshold tradeoff).
-        sparse_thr = max(
-            MIN_TRACK_TAGS + 2, int(self.sparse_frac * n_tags)
-        )
-        cold_direct: set = set()
-        for si, (pL, pR) in enumerate(segs):
-            cl = max(len(resmap.get(pL + k, {})) for k in range(3))
-            cr = max(len(resmap.get(pR + k, {})) for k in range(3))
-            if min(cl, cr) < sparse_thr:
-                cold_direct.add(si)
-        direct_frames = sorted(
-            f
-            for si in cold_direct
-            for f in range(max(segs[si][0] + 3, 0), segs[si][1])
-            if f not in coldres
-        )
-        # Wave count over ALL segments (not just tracked ones): with it,
-        # Wmax is a deterministic function of (B, K, carry) that
-        # prewarm() can mirror — the per-wave-count _stack_outs graphs
-        # and the wave loop itself then hit warmed executables.  A
-        # cold-direct long segment can no longer shrink Wmax, but its
-        # rows are act=False (device-cheap), and the all-cold-direct
-        # case still skips the wave loop entirely.
-        Wmax = (
-            max(((n + 1) // 2 for n in n_list), default=0)
-            if len(cold_direct) < len(segs)
-            else 0
-        )
-
-        g_cor = np.zeros((B, n_tags, 4, 2), np.float32)
-        g_acc = np.zeros((B, n_tags), bool)
-        g_att = np.zeros((B, n_tags), bool)
-        g_ben = np.zeros((B, n_tags), bool)
-
-        if Wmax > 0:
-            S = len(segs)
-            # sticky row bucket: shape flaps would recompile wave_advance
-            R = max(-(-2 * S // 8) * 8, getattr(self, "_wave_rows", 0))
-            self._wave_rows = R
-            frame_of = np.zeros((Wmax, R), np.int32)
-            act = np.zeros((Wmax, R), bool)
-            for si, ((pL, pR), n) in enumerate(zip(segs, n_list)):
-                if si in cold_direct:
-                    continue
-                fc = (n + 1) // 2  # forward sweep takes the extra frame
-                for w in range(fc):
-                    frame_of[w, 2 * si] = pL + 3 + w
-                    act[w, 2 * si] = True
-                for w in range(n - fc):
-                    frame_of[w, 2 * si + 1] = pR - 1 - w
-                    act[w, 2 * si + 1] = True
-
-            c1 = np.zeros((R, n_tags, 4, 2), np.float32)
-            v1 = np.zeros((R, n_tags), bool)
-            c2, v2 = c1.copy(), v1.copy()
-            c3, v3 = c1.copy(), v1.copy()
-            for si, (pL, pR) in enumerate(segs):
-                if si in cold_direct:
-                    continue
-                fr, bk = 2 * si, 2 * si + 1
-                c1[fr], v1[fr] = detections_to_arrays(resmap[pL + 2], board)
-                c2[fr], v2[fr] = detections_to_arrays(resmap[pL + 1], board)
-                c3[fr], v3[fr] = detections_to_arrays(resmap[pL], board)
-                c1[bk], v1[bk] = detections_to_arrays(resmap[pR], board)
-                c2[bk], v2[bk] = detections_to_arrays(resmap[pR + 1], board)
-                c3[bk], v3[bk] = detections_to_arrays(resmap[pR + 2], board)
-
-            board_xy = jnp.asarray(
-                board.p3d.reshape(n_tags, 4, 3)[:, :, :2].astype(np.float32)
-            )
-            first_dev = jnp.asarray(np.asarray(first, np.int32))
-            carry = tuple(
-                jnp.asarray(a)
-                for a in init_wave_carry(c1, v1, c2, v2, c3, v3)
-            )
-            outs = []
-            with stage("detect/track"):
-                for w in range(Wmax):
-                    imgs_w = jnp.take(
-                        dev_all, jnp.asarray(frame_of[w]), axis=0
-                    )
-                    carry, out = wave_advance(
-                        self.family, imgs_w, board_xy, first_dev,
-                        carry, jnp.asarray(act[w]),
-                    )
-                    outs.append(out)
-                self.stats["waves"] = Wmax
-                # stack per-wave outputs ON DEVICE; fetched after the
-                # cold-direct sweep below overlaps with the wave compute
-                stacked = _stack_outs(tuple(tuple(o) for o in outs))
-                _async_fetch(stacked)
-            if direct_frames:
-                coldres.update(
-                    cold_sweep(direct_frames, "detect/track-cold")
-                )
-            with stage("detect/track"):
-                fetched = tuple(np.asarray(s) for s in stacked)
-            oc, ac, at, bn = fetched
-            for w in range(Wmax):
-                rows = np.flatnonzero(act[w])
-                f = frame_of[w, rows]
-                g_cor[f] = oc[w, rows]
-                g_acc[f] = ac[w, rows]
-                g_att[f] = at[w, rows]
-                g_ben[f] = bn[w, rows]
-        elif direct_frames:
-            coldres.update(
-                cold_sweep(direct_frames, "detect/track-cold")
-            )
-
-        # row bookkeeping for the repair re-sweeps below
-        row_frames: Dict[int, List[int]] = {}
-        row_of = np.full(B, -1, np.int32)
-        pos_of = np.full(B, -1, np.int32)
-        if Wmax > 0:
-            for r in range(R):
-                fl = [int(frame_of[w, r]) for w in range(Wmax) if act[w, r]]
-                if fl:
-                    row_frames[r] = fl
-                    for w, f in enumerate(fl):
-                        row_of[f] = r
-                        pos_of[f] = w
-
-        # Per-segment EXPECTED tag count, from the bracketing cold
-        # anchors: when the board is partially out of view (TUM-VI-style
-        # sweeps), a frame with 8 visible tags is healthy even though
-        # 8 << n_tags/2 — auditing every such frame cold-detected whole
-        # stretches of the sequence for nothing (measured: 51 trigger
-        # frames / 156 cold frames on the 534-frame bench).  min() of the
-        # two anchor triples is the conservative bound on what a
-        # mid-segment frame should still see; the per-tag novel-failure
-        # audits (below) remain the recall guarantee for attempted tags.
-        seg_expect: Dict[int, int] = {}
-        for si, (pL, pR) in enumerate(segs):
-            cl = max(len(resmap.get(pL + k, {})) for k in range(3))
-            cr = max(len(resmap.get(pR + k, {})) for k in range(3))
-            seg_expect[si] = min(cl, cr)
-
-        def expected_at(f: int) -> int:
-            r = int(row_of[f])
-            if r < 0:
-                return n_tags
-            return seg_expect.get(r // 2, n_tags)
-
-        # ---- results + post-hoc audit/repair loop ---------------------
-        results: List[Dict[int, np.ndarray]] = [dict() for _ in range(B)]
-
-        def write_result(f: int) -> None:
-            tracked = {
-                int(t) + first: g_cor[f, t].copy()
-                for t in np.flatnonzero(g_acc[f])
-            }
-            if f in coldres:
-                merged = dict(coldres[f])
-                for t, cc in tracked.items():
-                    merged.setdefault(t, cc)
-                results[f] = merged
-            else:
-                results[f] = tracked
-
-        for f in range(B):
-            write_result(f)
-
-        # Provisional-results hook: detections are complete up to audit
-        # corrections from here on, so a caller-registered callback (the
-        # speculative calibration, calib/pipeline.SpeculativeCalib) can
-        # overlap its solve with the link-bound audit sweeps below.
-        if self.on_provisional is not None:
-            try:
-                self.on_provisional([dict(r) for r in results])
-            except Exception:  # pragma: no cover - hook must not break detect
-                log.exception("on_provisional hook failed")
-
-        def fails_at(f: int) -> set:
-            return set(
-                int(t)
-                for t in np.flatnonzero(g_att[f] & ~g_acc[f] & ~g_ben[f])
-            )
-
-        # A cold-confirmed absence suppresses re-audits only for KB_TTL
-        # frames (the audit-cadence bound of the sequential design,
-        # commit 02a340e, which the wave rewrite had dropped — the stamp
-        # was stored but never read).  Without the TTL a tag occluded
-        # once is never audited again: if it later reappears somewhere
-        # the wave predictor hard-fails but the cold pipeline would
-        # decode, recall silently trails cold until the next anchor.
-        # With it, a persistent blind spot re-confirms once per ~2
-        # segments (one extra tag in a batched audit) instead of never.
-        KB_TTL = 2 * K
-
-        def known_bad_at(f: int) -> set:
-            g = g0 + f
-            return {
-                t for t, s in st["known_bad"].items() if g - s <= KB_TTL
-            }
-
-        def res_at(f: int) -> Dict[int, np.ndarray]:
-            return results[f] if f >= 0 else resmap.get(f, {})
-
-        def run_resweeps(jobs) -> None:
-            """Re-run sweep rows from corrected seeds.
-
-            jobs: list of (frames_in_sweep_order, seed frame indices
-            (f1 nearest, f2, f3)).  Row/wave shapes are bucketed (sticky)
-            so repair runs reuse a small compiled-graph set."""
-            R2 = max(
-                -(-len(jobs) // 8) * 8, getattr(self, "_wave_rows_small", 8)
-            )
-            self._wave_rows_small = R2
-            # wave count bucketed to multiples of 4: it keys the wave
-            # loop's stack graph, and the raw max row length is
-            # data-dependent (padded waves carry act=False rows)
-            W2 = -(-max(len(fl) for fl, _ in jobs) // 4) * 4
-            f_of = np.zeros((W2, R2), np.int32)
-            a2 = np.zeros((W2, R2), bool)
-            c1 = np.zeros((R2, n_tags, 4, 2), np.float32)
-            v1 = np.zeros((R2, n_tags), bool)
-            c2, v2 = c1.copy(), v1.copy()
-            c3, v3 = c1.copy(), v1.copy()
-            for j, (fl, (f1, f2, f3)) in enumerate(jobs):
-                for w, f in enumerate(fl):
-                    f_of[w, j] = f
-                    a2[w, j] = True
-                c1[j], v1[j] = detections_to_arrays(res_at(f1), board)
-                c2[j], v2[j] = detections_to_arrays(res_at(f2), board)
-                c3[j], v3[j] = detections_to_arrays(res_at(f3), board)
-            carry = tuple(
-                jnp.asarray(a)
-                for a in init_wave_carry(c1, v1, c2, v2, c3, v3)
-            )
-            outs = []
-            with stage("detect/track"):
-                for w in range(W2):
-                    imgs_w = jnp.take(dev_all, jnp.asarray(f_of[w]), axis=0)
-                    carry, out = wave_advance(
-                        self.family, imgs_w, board_xy, first_dev,
-                        carry, jnp.asarray(a2[w]),
-                    )
-                    outs.append(out)
-                # jitted stack (one graph per W2 bucket; the eager
-                # per-field jnp.stack compiled one-op graphs)
-                stacked2 = _stack_outs(tuple(tuple(o) for o in outs))
-                _async_fetch(stacked2)
-                fetched = tuple(np.asarray(s) for s in stacked2)
-            oc, ac, at, bn = fetched
-            for w in range(W2):
-                rows = np.flatnonzero(a2[w])
-                f = f_of[w, rows]
-                g_cor[f] = oc[w, rows]
-                g_acc[f] = ac[w, rows]
-                g_att[f] = at[w, rows]
-                g_ben[f] = bn[w, rows]
-                for ff in f:
-                    write_result(int(ff))
-
-        # Audit/repair loop: EVERY frame whose non-benign hard failures
-        # are not all cold-CONFIRMED absences gets cold-verified (one
-        # batched sweep per round), as does every frame with too few
-        # accepted tags.  known_bad collects only failures the audit
-        # confirmed (cold missed the tag too: occlusion, rim clipping).
-        # When an audit RECOVERS tags tracking lost, the frames
-        # downstream in the same sweep rode the same degraded carry —
-        # they are RE-SWEPT from the corrected frame (the wave analogue
-        # of the sequential design's re-seed-and-rescan repair), so one
-        # bad stretch does not turn the rest of its half-segment into
-        # per-frame audits.  Rounds strictly grow the audited set, so
-        # the loop terminates; on steady-state video it runs once over a
-        # handful of frames.  Final guarantee: every tracking
-        # hard-failure is benign (cold-equivalent by construction),
-        # cold-audited on that very frame, or cold-confirmed absent.
-        #
-        # LIGHT suspects (1-2 flickering tags on an otherwise healthy
-        # frame; their recall feeds no carry) ride the SAME per-round
-        # sweep instead of a trailing one — each extra cold group costs a
-        # fixed ~0.15-0.2 s of link latency, and folding them in cuts the
-        # audit group count from 3-4 to 1-2 on the 534-frame bench.  They
-        # are excluded from resweep-repair (a 1-tag flicker must not
-        # trigger a whole-row resweep, which could seed another round).
-        rounds = 0
-        while True:
-            heavy: List[int] = []
-            for f in range(B):
-                if f in coldres:
-                    continue
-                novel = fails_at(f) - known_bad_at(f)
-                acc_n = int(g_acc[f].sum())
-                # 1-2 flickering tags on an otherwise healthy frame are
-                # LIGHT suspects — swept alongside the heavy frames but
-                # excluded from resweep-repair.  slack 4: a frame 1-3
-                # tags under the anchor expectation with <3 novel hard
-                # failures is light
-                thr = max(
-                    MIN_TRACK_TAGS, min(n_tags // 2, expected_at(f) - 4)
-                )
-                if len(novel) >= 3 or acc_n < thr:
-                    heavy.append(f)
-            heavy_set = set(heavy)
-            light = [
-                f
-                for f in range(B)
-                if f not in coldres
-                and f not in heavy_set
-                and (fails_at(f) - known_bad_at(f))
-            ]
-            if not heavy and not light:
-                break
-            rounds += 1
-            # LIGHT suspects join a sweep only AFTER the round-1 resweeps
-            # ran (or when no heavy round is needed at all): a repaired
-            # carry re-tracks downstream frames and clears most 1-2-tag
-            # flickers for free (measured: sweeping lights before the
-            # resweep audited 81 frames where waiting audits 31).
-            merge_light = (not heavy) or rounds > 1
-            # Audit only the LEADING suspect of each sweep row (plus any
-            # row-less frame): downstream suspects usually ride the same
-            # degraded carry, and the re-sweep from the repaired frame
-            # resolves them wholesale.  When the lead itself shows MASS
-            # failure (an oblique/rim stretch where decode struggles),
-            # the row's remaining frames go straight to cold in this
-            # round — repair-and-resweep would just re-fail.
-            if rounds > 1:
-                # the lead-per-row policy pays off only while re-sweeps
-                # resolve downstream suspects wholesale; round 1 already
-                # audited every then-current suspect, so whatever remains
-                # came from its resweeps — audit it all in ONE batched
-                # sweep, with no further resweep (guarantees this is the
-                # final round)
-                lead = heavy
-                no_resweep = set(range(-1, 2 * len(segs)))
-            else:
-                seen_rows: Dict[int, bool] = {}
-                lead = []
-                no_resweep = set()
-                for f in heavy:
-                    r = int(row_of[f])
-                    if r < 0:
-                        lead.append(f)
-                    elif r not in seen_rows:
-                        seen_rows[r] = True
-                        lead.append(f)
-                        novel_n = len(fails_at(f) - known_bad_at(f))
-                        row_thr = max(
-                            MIN_TRACK_TAGS,
-                            min(n_tags // 2, expected_at(f) - 2),
-                        )
-                        if (
-                            novel_n >= n_tags // 4
-                            or int(g_acc[f].sum()) < row_thr
-                        ):
-                            no_resweep.add(r)
-                            lead.extend(
-                                ff
-                                for ff in row_frames[r][pos_of[f] + 1 :]
-                                if ff not in coldres
-                            )
-            lead_set = set(lead)
-            if merge_light:
-                lead.extend(f for f in light if f not in lead_set)
-            self.stats["trigger_frames"] += len(lead)
-            for f in lead:
-                self.stats.setdefault("trigger_log", []).append(
-                    (f, sorted(fails_at(f) - known_bad_at(f)))
-                )
-            coldres.update(cold_sweep(lead, "detect/track-audit"))
-            light_set = set(light) - lead_set
-            improved: List[int] = []
-            for f in lead:
-                added = any(t not in results[f] for t in coldres[f])
-                for t in fails_at(f):
-                    if (t + first) not in coldres[f]:
-                        st["known_bad"][t] = g0 + f
-                write_result(f)
-                if added and f not in light_set:
-                    improved.append(f)
-            best: Dict[int, int] = {}  # row -> earliest improved frame
-            for f in improved:
-                r = int(row_of[f])
-                if r < 0 or r in no_resweep:
-                    continue
-                if r not in best or pos_of[f] < pos_of[best[r]]:
-                    best[r] = f
-            jobs = []
-            for r, f in best.items():
-                rest = row_frames[r][pos_of[f] + 1 :]
-                if not rest:
-                    continue
-                d = 1 if r % 2 == 0 else -1  # even rows sweep forward
-                jobs.append((rest, (f, f - d, f - 2 * d)))
-            if jobs:
-                self.stats["resweeps"] = self.stats.get("resweeps", 0) + len(jobs)
-                run_resweeps(jobs)
-
-        st["prev"] = (results[B - 3], results[B - 2], results[B - 1])
-        st["frame_idx"] += B
-        return results
+        return detect_batch_tracked(self, dev_all, board)
 
     # -------------------------------------------------------------- single
     def detect(self, image) -> Dict[int, np.ndarray]:

@@ -1,0 +1,218 @@
+"""Direct unit tests of the audit policy state machine (detect/audit.py).
+
+These exercise the suspect classification, lead-frame selection,
+known_bad TTL, and resweep-job transitions WITHOUT rendering video — the
+integration-level recall guarantees stay in test_track.py /
+test_track_shake.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ccrs_tpu.detect.audit import AuditPolicy, RowLayout
+from ccrs_tpu.detect.track import MIN_TRACK_TAGS
+
+N_TAGS = 36
+K = 40
+
+
+def make_layout(B, rows):
+    """rows: {row_id: [frames in sweep order]}."""
+    lay = RowLayout.empty(B)
+    for r, fl in rows.items():
+        lay.row_frames[r] = list(fl)
+        for w, f in enumerate(fl):
+            lay.row_of[f] = r
+            lay.pos_of[f] = w
+    return lay
+
+
+def make_policy(B=20, rows=None, seg_expect=None, known_bad=None, g0=0):
+    rows = rows if rows is not None else {0: list(range(3, B))}
+    lay = make_layout(B, rows)
+    seg = seg_expect if seg_expect is not None else {0: N_TAGS}
+    return AuditPolicy(
+        n_tags=N_TAGS, g0=g0, known_bad=known_bad if known_bad is not None else {},
+        kb_ttl=2 * K, layout=lay, seg_expect=seg,
+    )
+
+
+def healthy(B):
+    """No failures, full acceptance."""
+    return [set() for _ in range(B)], np.full(B, N_TAGS)
+
+
+def test_no_suspects_terminates():
+    pol = make_policy()
+    fails, acc = healthy(20)
+    assert pol.plan_round(fails, acc, set()) is None
+    assert pol.rounds == 0
+
+
+def test_three_novel_failures_is_heavy():
+    pol = make_policy()
+    fails, acc = healthy(20)
+    fails[5] = {1, 2, 3}
+    plan = pol.plan_round(fails, acc, set())
+    assert plan is not None
+    assert 5 in plan.lead
+    assert 5 not in plan.light_set
+
+
+def test_low_acceptance_is_heavy_even_without_failures():
+    pol = make_policy()
+    fails, acc = healthy(20)
+    acc[7] = MIN_TRACK_TAGS - 1
+    plan = pol.plan_round(fails, acc, set())
+    assert plan is not None and 7 in plan.lead
+
+
+def test_anchor_expectation_lowers_the_bar():
+    # a frame seeing 8 tags is healthy when its segment's anchors see 10
+    pol = make_policy(seg_expect={0: 10})
+    fails, acc = healthy(20)
+    acc[5] = 8  # >= expected(10) - 4 slack and >= MIN_TRACK_TAGS
+    assert pol.plan_round(fails, acc, set()) is None
+    acc[5] = 5  # below 10 - 4
+    plan = pol.plan_round(fails, acc, set())
+    assert plan is not None and 5 in plan.lead
+
+
+def test_light_suspect_sweeps_alone_when_no_heavy():
+    pol = make_policy()
+    fails, acc = healthy(20)
+    fails[6] = {4}  # 1 flickering tag, healthy count
+    plan = pol.plan_round(fails, acc, set())
+    assert plan is not None
+    assert plan.lead == [6]
+    assert plan.light_set == {6}
+
+
+def test_light_waits_for_heavy_round_then_joins():
+    pol = make_policy()
+    fails, acc = healthy(20)
+    fails[5] = {1, 2, 3}  # heavy
+    fails[10] = {7}  # light
+    plan1 = pol.plan_round(fails, acc, set())
+    assert 5 in plan1.lead and 10 not in plan1.lead  # light waits
+    # round 2: the light suspect joins (and no resweeps are allowed)
+    plan2 = pol.plan_round(fails, acc, {5})
+    assert 10 in plan2.lead and 10 in plan2.light_set
+    assert int(pol.layout.row_of[10]) in plan2.no_resweep
+
+
+def test_lead_per_row_audits_only_first_heavy():
+    pol = make_policy()
+    fails, acc = healthy(20)
+    fails[5] = {1, 2, 3}
+    fails[8] = {1, 2, 3}  # same row, downstream — rides the resweep
+    plan = pol.plan_round(fails, acc, set())
+    assert plan.lead == [5]
+
+
+def test_rowless_heavy_frames_all_audit():
+    pol = make_policy(rows={})  # no wave rows (e.g. cold-direct layout)
+    fails, acc = healthy(20)
+    fails[4] = {1, 2, 3}
+    fails[9] = {4, 5, 6}
+    plan = pol.plan_round(fails, acc, set())
+    assert plan.lead == [4, 9]
+    assert plan.no_resweep == set()
+
+
+def test_mass_failure_sends_row_cold_no_resweep():
+    pol = make_policy()
+    fails, acc = healthy(20)
+    fails[5] = set(range(N_TAGS // 4))  # mass failure at the lead
+    plan = pol.plan_round(fails, acc, set())
+    # whole rest of the row goes straight to cold...
+    assert plan.lead[0] == 5
+    assert set(plan.lead) >= set(range(5, 20))
+    # ...and the row is excluded from resweep-repair
+    assert 0 in plan.no_resweep
+    assert pol.resweep_jobs([5], plan.no_resweep) == []
+
+
+def test_known_bad_ttl_suppresses_then_expires():
+    kb = {}
+    pol = make_policy(known_bad=kb)
+    fails, acc = healthy(20)
+    fails[5] = {2}
+    plan = pol.plan_round(fails, acc, set())
+    assert plan.lead == [5]
+    # the audit confirms the absence (cold missed tag 2 too)
+    improved = pol.record_outcome(plan, fails, {5: set()}, {5: False})
+    assert improved == []
+    assert kb[2] == 5  # stamped at g0 + f
+    # same failure later in the TTL window: no longer novel
+    fails2, acc2 = healthy(20)
+    fails2[10] = {2}
+    assert pol.plan_round(fails2, acc2, {5}) is None
+    # a policy for a LATER batch (g0 past the TTL) re-triggers
+    pol2 = make_policy(known_bad=kb, g0=5 + 2 * K + 1)
+    plan2 = pol2.plan_round(fails2, acc2, set())
+    assert plan2 is not None and 10 in plan2.lead
+
+
+def test_recovered_tag_is_not_stamped_known_bad():
+    kb = {}
+    pol = make_policy(known_bad=kb)
+    fails, acc = healthy(20)
+    fails[5] = {1, 2, 3}
+    plan = pol.plan_round(fails, acc, set())
+    # cold recovered tags 1 and 2 but confirmed 3 absent
+    improved = pol.record_outcome(plan, fails, {5: {1, 2}}, {5: True})
+    assert improved == [5]
+    assert 1 not in kb and 2 not in kb and kb[3] == 5
+
+
+def test_light_frames_never_seed_resweeps():
+    pol = make_policy()
+    fails, acc = healthy(20)
+    fails[6] = {4}
+    plan = pol.plan_round(fails, acc, set())
+    assert plan.light_set == {6}
+    improved = pol.record_outcome(plan, fails, {6: {4}}, {6: True})
+    assert improved == []  # recovered, but light: no resweep seed
+
+
+def test_resweep_jobs_earliest_improved_and_direction():
+    # even row 0 sweeps forward over 3..12; odd row 1 backward over 18..13
+    rows = {0: list(range(3, 13)), 1: list(range(18, 12, -1))}
+    pol = make_policy(rows=rows, seg_expect={0: N_TAGS})
+    jobs = pol.resweep_jobs([7, 5, 16], set())
+    jobs = sorted(jobs, key=lambda j: j[1][0])
+    # row 0: earliest improved (pos order) is 5 -> resweep 6.., seeds 5,4,3
+    assert jobs[0] == (list(range(6, 13)), (5, 4, 3))
+    # row 1 (backward): frame 16 at pos 2 -> resweep 15..13, seeds 16,17,18
+    assert jobs[1] == ([15, 14, 13], (16, 17, 18))
+
+
+def test_round2_audits_all_remaining_heavy_in_one_sweep():
+    pol = make_policy()
+    fails, acc = healthy(20)
+    fails[5] = {1, 2, 3}
+    pol.plan_round(fails, acc, set())  # round 1
+    fails[8] = {1, 2, 3}
+    fails[11] = {4, 5, 6}
+    plan2 = pol.plan_round(fails, acc, {5})
+    assert set(plan2.lead) == {8, 11}  # no lead-per-row collapsing
+    # every row is resweep-blocked (the loop's termination guarantee)
+    assert pol.resweep_jobs([8], plan2.no_resweep) == []
+
+
+def test_frames_already_cold_never_retrigger():
+    pol = make_policy()
+    fails, acc = healthy(20)
+    fails[5] = {1, 2, 3}
+    assert pol.plan_round(fails, acc, {5}) is None
+
+
+def test_trigger_log_records_novel_failures():
+    pol = make_policy()
+    fails, acc = healthy(20)
+    fails[5] = {3, 1, 2}
+    pol.plan_round(fails, acc, set())
+    assert pol.trigger_log == [(5, [1, 2, 3])]
