@@ -256,15 +256,37 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     # host memory, paying the host->device upload every real dataset run
     # pays (PNG decode is excluded: it overlaps detection on loader
     # threads in the product path, dataloader.py).  Reported alongside the
-    # device-resident headline; the gap is the tunnel-link upload cost
-    # (~20-70 MB/s here; local-NVMe v5e hosts don't see it — BASELINE.md).
+    # device-resident headline; the gap is the tunnel-link upload cost,
+    # MEASURED below as stages_sec["detect/upload"] (local-NVMe v5e hosts
+    # don't see it — BASELINE.md "Honest host-image number").
     fps_host = None
     if (
         collect_stages
         and dev_imgs is not None
         and os.environ.get("BENCH_SKIP_HOST", "") != "1"
     ):
+        import jax.numpy as jnp
+
         host_imgs = np.asarray(dev_imgs).astype(np.uint8)
+
+        # Measure the raw host->device upload of the full batch once, so
+        # the fps_host-vs-headline gap decomposes into measured upload
+        # time vs pipeline time (VERDICT r03 #3: the "gap is the link"
+        # claim must be evidence, not inference).  The pipeline overlaps
+        # this transfer with its own dispatch work (jnp.asarray is an
+        # async enqueue), so the gap can be smaller than this number.
+        t0 = time.perf_counter()
+        up = jnp.asarray(host_imgs)
+        up.block_until_ready()
+        upload_sec = time.perf_counter() - t0
+        del up
+        stages["detect/upload"] = upload_sec
+        mb = host_imgs.nbytes / 1e6
+        print(
+            f"[{size}] host->device upload: {upload_sec:.2f}s for "
+            f"{mb:.0f} MB ({mb / upload_sec:.0f} MB/s)",
+            file=sys.stderr,
+        )
 
         def pipeline_host(key):
             from ccrs_tpu.calib.pipeline import SpeculativeCalib
@@ -298,9 +320,11 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
 
 def run():
     fps_512, warm, stages, fps_host = run_config(512, N_FRAMES, collect_stages=True)
-    fps_1024 = None
+    fps_1024 = warm_1024 = None
     if os.environ.get("BENCH_SKIP_1024", "") != "1":
-        fps_1024, _, _, _ = run_config(1024, N_FRAMES_1024, collect_stages=False)
+        fps_1024, warm_1024, _, _ = run_config(
+            1024, N_FRAMES_1024, collect_stages=False
+        )
     out = {
         "metric": "end-to-end detect+calibrate throughput (512x512 EUCM AprilGrid, TUM-VI-like synthetic video, %d frames)" % N_FRAMES,
         "value": round(fps_512, 2),
@@ -313,6 +337,7 @@ def run():
         out["fps_host"] = round(fps_host, 2)
     if fps_1024 is not None:
         out["fps_1024"] = round(fps_1024, 2)
+        out["warmup_1024"] = round(warm_1024, 1)
     return out
 
 

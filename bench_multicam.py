@@ -141,13 +141,39 @@ def run(C=8, F=1000, vis_frac=0.75):
     focal_err = np.abs(theta[:, :2] - gt_params[:, :2]).max() / 190.0
     ext_err = np.abs(ext[1:] - rig[1:]).max()
     n_res = int(np.asarray(w).sum()) * 2
+
+    # convergence gate: the recovered rig must sit at the injected-noise
+    # floor (0.1 px/axis gaussian) — neither under-converged (rms high)
+    # nor cost-gamed (rms can't go below the noise floor on this many
+    # residuals), so the wall-clock can't be bought with a loose solve
+    @jax.jit
+    def rms_of(theta_j, ext_j, poses_j, w_j):
+        def per_cam(c_params, c_ext, w_c, p2d_c):
+            rv, tv = se3.compose(
+                jnp.broadcast_to(c_ext[:3], (F, 3)),
+                jnp.broadcast_to(c_ext[3:], (F, 3)),
+                poses_j[:, :3], poses_j[:, 3:],
+            )
+            pc = jnp.einsum(
+                "fij,nj->fni", se3.exp_so3(rv), jnp.asarray(p3d)
+            ) + tv[:, None, :]
+            pr, _ = project_eucm(c_params, pc)
+            r2 = ((pr - jnp.asarray(p2d_c)) ** 2).sum(-1)
+            return (r2 * w_c).sum(), w_c.sum()
+
+        s2, n = jax.vmap(per_cam)(theta_j, ext_j, jnp.asarray(w), jnp.asarray(p2d))
+        return jnp.sqrt(s2.sum() / (2.0 * n.sum()))
+
+    rms = float(rms_of(res.theta, res.ext, res.poses, jnp.asarray(w)))
     print(
         f"iters={int(res.n_iters)} cost={float(res.cost):.4f} "
-        f"focal_rel_err={focal_err:.2e} ext_err={ext_err:.2e}",
+        f"focal_rel_err={focal_err:.2e} ext_err={ext_err:.2e} "
+        f"rms={rms:.4f} px (noise floor 0.1)",
         file=sys.stderr,
     )
     assert focal_err < 3e-3, focal_err
     assert ext_err < 3e-3, ext_err
+    assert 0.07 < rms < 0.13, f"rms {rms:.4f} px off the 0.1 px noise floor"
     return {
         "metric": f"joint {C}-camera BA wall-clock ({F} frames/cam, {n_res} residuals)",
         "value": round(dt, 2),
@@ -155,6 +181,8 @@ def run(C=8, F=1000, vis_frac=0.75):
         "iters": int(res.n_iters),
         "max_focal_rel_err": float(focal_err),
         "max_extrinsic_err": float(ext_err),
+        "rms_px": round(rms, 4),
+        "rms_gate": "0.07 < rms < 0.13 (0.1 px injected noise)",
     }
 
 
