@@ -111,6 +111,7 @@ def test_rotated_quads_all_angles():
         assert np.abs(got - want).max() < 2.0, (deg, got, want)
 
 
+@pytest.mark.slow
 def test_e2e_device_quads_decode_like_native():
     """threshold -> device CCL -> decode finds the same tags as the
     native-extraction path on a rendered board frame."""

@@ -26,6 +26,7 @@ def dataset(tmp_path_factory):
     return root, model
 
 
+@pytest.mark.slow
 def test_cli_full_run(dataset, tmp_path, monkeypatch):
     root, gt = dataset
     out = tmp_path / "out"
@@ -69,6 +70,7 @@ def test_cli_bad_path(tmp_path, monkeypatch):
         main([str(tmp_path / "nope"), "--no-rerun"])
 
 
+@pytest.mark.slow
 def test_cli_custom_board_5x9(tmp_path, monkeypatch):
     """Non-default board config (the reference ships board_config5x9.json):
     render a 5x9 grid, calibrate via --board-config."""
