@@ -204,6 +204,18 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
         if dt < elapsed:
             elapsed = dt
             stages = profiling.totals()
+    if os.environ.get("CCRS_TIMING_SPANS"):
+        # span timeline of the LAST rep (diagnostic: shows the critical
+        # path through the overlapped stages; reset() clears per rep)
+        sp = profiling.spans()
+        if sp:
+            t_base = min(s[2] for s in sp)
+            for name, thr, a, b in sorted(sp, key=lambda s: s[2]):
+                print(
+                    f"  span {a - t_base:7.3f} -> {b - t_base:7.3f} "
+                    f"({b - a:6.3f}s) {name} [{thr}]",
+                    file=sys.stderr,
+                )
     profiling.reset()
     for name in sorted(stages, key=lambda k: -stages[k]):
         print(f"  stage {name:24s} {stages[name]:7.3f}s", file=sys.stderr)

@@ -31,6 +31,25 @@ log = logging.getLogger(__name__)
 MAX_INIT_ATTEMPTS = 10  # src/util.rs:855
 MAX_TRIALS = 3  # bin/camera_calibration.rs:217
 
+import os
+
+#: frame cap for the SPECULATIVE solve (SpeculativeCalib subsamples its
+#: provisional batch down to at most this many frames).  Two reasons,
+#: both measured on the 534-frame bench (span timeline, r04): (1) the
+#: speculative BA is one ~0.7 s device graph and the remote TPU runs one
+#: graph at a time, so the detector's audit sweeps — whose decode/assist
+#: graphs enqueue behind it — stalled 0.46 s waiting for it; a ~180-frame
+#: spec solve shrinks that contention window ~3x.  (2) the seed does not
+#: need every frame: the final solve re-initializes missing poses with
+#: its in-graph PnP (warm_valid=0 falls back) and re-polishes everything.
+SPEC_MAX_FRAMES = int(os.environ.get("CCRS_SPEC_MAX_FRAMES", "192"))
+
+
+def spec_stride(n_frames: int) -> int:
+    """Subsample stride the speculative solve uses for ``n_frames``
+    (shared with calib.prewarm so the spec-shaped BA graph is warmed)."""
+    return max(1, -(-n_frames // SPEC_MAX_FRAMES))
+
 
 def init_and_calibrate_one_camera(
     board: Board,
@@ -270,8 +289,17 @@ class SpeculativeCalib:
 
         board, times, target_model, calib_params, key, w, h = self._args
         try:
+            F_all = len(results)
+            # subsample to <= SPEC_MAX_FRAMES (see its docstring: shrinks
+            # the device-contention window the audits queue behind, and
+            # the final solve PnP-inits the skipped frames' poses anyway)
+            stride = spec_stride(F_all)
+            sub_idx = range(0, F_all, stride)
             with stage_prefix("spec/"):
-                batch = FrameBatch.from_detections(results, times, board, w, h)
+                batch = FrameBatch.from_detections(
+                    [results[i] for i in sub_idx],
+                    [times[i] for i in sub_idx], board, w, h,
+                )
                 # truncated f64 polish: the speculative output is only a
                 # SEED for the final solve, which re-polishes in full —
                 # the polish is the emulated-f64 (expensive) stage, and 2
@@ -284,16 +312,22 @@ class SpeculativeCalib:
             if res is None:
                 return
             model, rtvecs = res
-            F = batch.p2d.shape[0]
-            poses = np.zeros((F, 6), np.float64)
-            valid = np.zeros((F,), np.float64)
+            poses = np.zeros((F_all, 6), np.float64)
+            valid = np.zeros((F_all,), np.float64)
             for i, rt in rtvecs.items():
-                poses[i, :3], poses[i, 3:] = rt.rvec, rt.tvec
-                valid[i] = 1.0
-            self._warm = (
-                model, poses, valid,
-                init_and_calibrate_one_camera.last_init_frames,
-            )
+                poses[i * stride, :3] = rt.rvec
+                poses[i * stride, 3:] = rt.tvec
+                valid[i * stride] = 1.0
+            # (lerping the skipped frames' poses was tried and REVERTED:
+            # the final solve's cost is its graph-execution floor, not
+            # iteration count — warm-on-warm measures 0.60 s — and the
+            # in-graph PnP init beats a lerp as a seed anyway.)
+            init_frames = init_and_calibrate_one_camera.last_init_frames
+            if init_frames is not None:
+                # map the sub-batch keyframe indices back to full-batch
+                # frame numbers (the Rerun keyframe markers use these)
+                init_frames = tuple(f * stride for f in init_frames)
+            self._warm = (model, poses, valid, init_frames)
         except Exception:  # pragma: no cover - speculation must not fail
             log.exception("speculative calibration failed; running cold")
 

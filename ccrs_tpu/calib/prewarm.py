@@ -113,12 +113,16 @@ def prewarm_calibration(
     theta0 = np.where(free == 0.0, 0.0, theta0)
     lo = np.where(free == 0.0, -np.inf, lo)
     hi = np.where(free == 0.0, np.inf, hi)
-    F = n_frames
-    p2d = rng.uniform(0, width, (F, N, 2))
-    mask = np.ones((F, N), bool)
-    # both polish budgets: 12 = the final solve, 2 = the speculative
-    # seed solve (calib/pipeline.SpeculativeCalib) — distinct executables
-    for pi in (12, 2):
+    # polish 12 = the final solve at full F; polish 2 = the speculative
+    # seed solve, which SUBSAMPLES its batch to <= SPEC_MAX_FRAMES
+    # (calib/pipeline.SpeculativeCalib) — distinct executables, distinct
+    # (F, N) shapes
+    from .pipeline import spec_stride
+
+    F_spec = len(range(0, n_frames, spec_stride(n_frames)))
+    for F, pi in ((n_frames, 12), (F_spec, 2)):
+        p2d = rng.uniform(0, width, (F, N, 2))
+        mask = np.ones((F, N), bool)
         res, fv = _calib_camera_device(
             unproject_fn(cam.name),
             project_fn(cam.name),

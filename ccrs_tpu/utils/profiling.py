@@ -19,8 +19,14 @@ import threading
 import time
 
 _ENABLED = os.environ.get("CCRS_TIMING", "") not in ("", "0")
+# CCRS_TIMING_SPANS=1 additionally records every stage invocation as a
+# (name, thread, t0, t1) span so overlapped stages (speculation, audit
+# sweeps, prewarm threads) can be laid out on a timeline — the aggregate
+# totals alone cannot show the critical path.
+_SPANS = os.environ.get("CCRS_TIMING_SPANS", "") not in ("", "0")
 _totals: dict = collections.defaultdict(float)
 _counts: dict = collections.defaultdict(int)
+_span_list: list = []
 _tls = threading.local()
 
 
@@ -35,9 +41,13 @@ def stage(name: str):
     try:
         yield
     finally:
-        dt = time.perf_counter() - t0
-        _totals[name] += dt
+        t1 = time.perf_counter()
+        _totals[name] += t1 - t0
         _counts[name] += 1
+        if _SPANS:
+            _span_list.append(
+                (name, threading.current_thread().name, t0, t1)
+            )
 
 
 @contextlib.contextmanager
@@ -64,6 +74,12 @@ def reset() -> None:
     """Clear accumulated stage totals (e.g. after a warmup run)."""
     _totals.clear()
     _counts.clear()
+    _span_list.clear()
+
+
+def spans() -> list:
+    """Snapshot of (name, thread, t0, t1) spans (CCRS_TIMING_SPANS=1)."""
+    return list(_span_list)
 
 
 def totals() -> dict:
