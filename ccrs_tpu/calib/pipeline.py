@@ -75,6 +75,12 @@ def init_and_calibrate_one_camera(
             calib_params.fixed_focal is not None
         )
         fixed_focal = calib_params.fixed_focal is not None
+        # when the warm seed covers EVERY frame, the final solve drops
+        # its in-graph PnP init — the emulated-f64 PnP is ~0.48 s of the
+        # 0.60 s warm-solve floor at 534 frames (see _calib_camera_device
+        # skip_pose_init); a gate failure still falls back to the cold
+        # ladder with full PnP semantics
+        skip = bool(np.all(np.asarray(warm_valid) > 0))
         with stage("calib/ba"):
             result = calib_camera(
                 board, batch, final_model,
@@ -82,6 +88,7 @@ def init_and_calibrate_one_camera(
                 disabled_distortions=calib_params.disabled_distortion_num,
                 fixed_focal=fixed_focal,
                 warm_poses=warm_poses, warm_valid=warm_valid,
+                skip_pose_init=skip,
             )
         return _gate_result(board, batch, result)
 
@@ -318,10 +325,36 @@ class SpeculativeCalib:
                 poses[i * stride, :3] = rt.rvec
                 poses[i * stride, 3:] = rt.tvec
                 valid[i * stride] = 1.0
-            # (lerping the skipped frames' poses was tried and REVERTED:
-            # the final solve's cost is its graph-execution floor, not
-            # iteration count — warm-on-warm measures 0.60 s — and the
-            # in-graph PnP init beats a lerp as a seed anyway.)
+            # fill the unsolved frames (subsample-skipped AND spec-solve
+            # failures) by per-component lerp between the solved
+            # neighbors — video trajectories are smooth; frames outside
+            # the solved range clamp to the nearest.  A FULL-coverage
+            # warm seed lets the final solve skip its in-graph PnP init,
+            # which is 0.48 s of the 0.60 s warm-solve floor at 534
+            # frames (calib_camera skip_pose_init); the lerp seed costs
+            # a few extra f32 LM iterations, a fraction of that.
+            idx = np.flatnonzero(valid)
+            if len(idx) >= 2:
+                # axis-angle double cover: consecutive solved rvecs can
+                # land on opposite representatives (r vs (1-2pi/|r|)r);
+                # lerping across such a flip produces a garbage rotation
+                # (measured: seed bad enough to exhaust the final LM's
+                # 60-iteration f32 budget).  Re-branch each rvec to the
+                # representative nearest its predecessor first.
+                r = poses[idx, :3].copy()
+                for k in range(1, len(idx)):
+                    n = float(np.linalg.norm(r[k]))
+                    if n > 1e-9:
+                        alt = r[k] * (1.0 - 2.0 * np.pi / n)
+                        if np.sum((alt - r[k - 1]) ** 2) < np.sum(
+                            (r[k] - r[k - 1]) ** 2
+                        ):
+                            r[k] = alt
+                poses[idx, :3] = r
+                allf = np.arange(F_all)
+                for d in range(6):
+                    poses[:, d] = np.interp(allf, idx, poses[idx, d])
+                valid[:] = 1.0
             init_frames = init_and_calibrate_one_camera.last_init_frames
             if init_frames is not None:
                 # map the sub-batch keyframe indices back to full-batch

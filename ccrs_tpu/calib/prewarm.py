@@ -120,7 +120,15 @@ def prewarm_calibration(
     from .pipeline import spec_stride
 
     F_spec = len(range(0, n_frames, spec_stride(n_frames)))
-    for F, pi in ((n_frames, 12), (F_spec, 2)):
+    # (F, polish, skip_pose_init) triples: the final solve runs the
+    # no-PnP variant when the speculative seed covers every frame
+    # (pipeline.init_and_calibrate_one_camera warm path) and the full
+    # PnP graph when running cold; the spec solve is always cold-style
+    for F, pi, skip in (
+        (n_frames, 12, True),
+        (n_frames, 12, False),
+        (F_spec, 2, False),
+    ):
         p2d = rng.uniform(0, width, (F, N, 2))
         mask = np.ones((F, N), bool)
         res, fv = _calib_camera_device(
@@ -135,8 +143,9 @@ def prewarm_calibration(
             hi,
             np.asarray(free, np.float64),
             np.zeros((F, 6), np.float64),
-            np.zeros((F,), np.float64),
+            np.ones((F,), np.float64) if skip else np.zeros((F,), np.float64),
             one_focal=one_focal,
             polish_iters=pi,
+            skip_pose_init=skip,
         )
         res.cost.block_until_ready()

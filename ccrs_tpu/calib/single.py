@@ -87,14 +87,14 @@ _pose_init_device = partial(jax.jit, static_argnames=("unproj",))(_pose_init_cor
     jax.jit,
     static_argnames=(
         "unproj", "project_fn", "one_focal", "max_iters", "huber_delta",
-        "polish_iters",
+        "polish_iters", "skip_pose_init",
     ),
 )
 def _calib_camera_device(
     unproj, project_fn, theta0, params_full, p2d, mask, p3d, lo, hi, free,
     warm_poses, warm_valid,
     one_focal: bool, max_iters: int = 60, huber_delta: float = 1.0,
-    polish_iters: int = 12,
+    polish_iters: int = 12, skip_pose_init: bool = False,
 ):
     """Whole single-camera calibration as ONE device graph:
     unproject -> planar-PnP pose init -> mixed-precision Schur LM bundle
@@ -113,10 +113,29 @@ def _calib_camera_device(
     PnP became Cholesky-only and its GN polish carries the rotation as a
     matrix) measurably degraded the final optimum — median reprojection
     rose 0.130 -> 0.149 px and the bench's f64 interchange gate blew up,
-    because the f64 polish budget is sized for f64-quality seeds."""
-    poses0, frame_valid = _pose_init_core(unproj, params_full, p2d, mask, p3d)
-    frame_valid = frame_valid * (jnp.sum(mask, axis=1) > 0)
-    poses0 = jnp.where((warm_valid > 0)[:, None], warm_poses, poses0)
+    because the f64 polish budget is sized for f64-quality seeds.
+
+    ``skip_pose_init`` (static): drop the in-graph PnP entirely and seed
+    every frame from ``warm_poses`` — the emulated-f64 PnP init is the
+    single largest cost of this graph (measured 0.48 s of a 0.60 s
+    warm-on-warm solve at 534 frames), and a warm start that covers all
+    frames doesn't need it.  Frame validity then falls back to the
+    observed-corner count (>= MIN_PNP_POINTS; the PnP variant counts
+    unprojectABLE corners, a strictly tighter test) — the LM still
+    damps/rejects, and the callers' sanity gates judge the result.  Only
+    the warm (speculation-seeded) path uses this; the cold path keeps
+    exact reference semantics."""
+    if skip_pose_init:
+        poses0 = warm_poses
+        frame_valid = (
+            jnp.sum(mask, axis=1) >= MIN_PNP_POINTS
+        ).astype(theta0.dtype)
+    else:
+        poses0, frame_valid = _pose_init_core(
+            unproj, params_full, p2d, mask, p3d
+        )
+        frame_valid = frame_valid * (jnp.sum(mask, axis=1) > 0)
+        poses0 = jnp.where((warm_valid > 0)[:, None], warm_poses, poses0)
     res = ba_solve_mixed(
         project_fn, theta0, poses0, p3d, p2d, mask.astype(theta0.dtype),
         lo, hi, free, frame_valid,
@@ -153,6 +172,7 @@ def calib_camera(
     warm_poses: Optional[np.ndarray] = None,
     warm_valid: Optional[np.ndarray] = None,
     polish_iters: int = 12,
+    skip_pose_init: bool = False,
 ) -> Optional[Tuple[GenericModel, Dict[int, RvecTvec]]]:
     """Full single-camera BA (``src/util.rs:384-490``).
 
@@ -161,9 +181,13 @@ def calib_camera(
     seed the final one.  The intrinsics warm start rides ``camera``.
     ``polish_iters``: f64 polish budget — the SPECULATIVE solve truncates
     it (its output is only a seed; the final solve re-polishes).
+    ``skip_pose_init``: drop the in-graph PnP init (requires warm_poses
+    covering every frame; see _calib_camera_device).
 
     Returns (calibrated model, {frame_idx: board->camera pose}) or None.
     """
+    if skip_pose_init and warm_poses is None:
+        raise ValueError("skip_pose_init requires warm_poses")
     params0 = camera.params.copy()
     with cpu_scope():
         theta0 = np.asarray(reduce_params(jnp.asarray(params0), xy_same_focal))
@@ -198,6 +222,7 @@ def calib_camera(
         np.asarray(warm_valid, np.float64),
         one_focal=xy_same_focal,
         polish_iters=polish_iters,
+        skip_pose_init=skip_pose_init,
     )
     frame_valid = np.asarray(frame_valid_j)
     if os.environ.get("CCRS_TIMING"):
