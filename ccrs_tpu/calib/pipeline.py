@@ -61,13 +61,16 @@ def init_and_calibrate_one_camera(
     rng=None,
     warm=None,
     polish_iters: int = 12,
+    pose_init_f32: bool = False,
 ) -> Optional[Tuple[GenericModel, Dict[int, RvecTvec]]]:
     """``warm``: optional (model, poses (F,6), pose_valid (F,),
     init_frames) from a speculative calibration on provisional
     detections (SpeculativeCalib) — skips init+convert and seeds the
     final BA, which still runs to full convergence on ``batch``.
     ``polish_iters``: f64 polish budget passed to the BA (the
-    speculative solve truncates it; its output is only a seed)."""
+    speculative solve truncates it; its output is only a seed).
+    ``pose_init_f32``: f32 PnP init (seed-quality solves only; see
+    calib_camera)."""
     if warm is not None:
         final_model, warm_poses, warm_valid, init_frames = warm
         init_and_calibrate_one_camera.last_init_frames = init_frames
@@ -148,6 +151,7 @@ def init_and_calibrate_one_camera(
             disabled_distortions=calib_params.disabled_distortion_num,
             fixed_focal=fixed_focal,
             polish_iters=polish_iters,
+            pose_init_f32=pose_init_f32,
         )
     return _gate_result(board, batch, result)
 
@@ -314,7 +318,7 @@ class SpeculativeCalib:
                 # convergence basin while roughly halving the spec solve
                 res = init_and_calibrate_one_camera(
                     board, batch, target_model, calib_params, key,
-                    polish_iters=2,
+                    polish_iters=2, pose_init_f32=True,
                 )
             if res is None:
                 return

@@ -124,10 +124,10 @@ def prewarm_calibration(
     # no-PnP variant when the speculative seed covers every frame
     # (pipeline.init_and_calibrate_one_camera warm path) and the full
     # PnP graph when running cold; the spec solve is always cold-style
-    for F, pi, skip in (
-        (n_frames, 12, True),
-        (n_frames, 12, False),
-        (F_spec, 2, False),
+    for F, pi, skip, p32 in (
+        (n_frames, 12, True, False),
+        (n_frames, 12, False, False),
+        (F_spec, 2, False, True),
     ):
         p2d = rng.uniform(0, width, (F, N, 2))
         mask = np.ones((F, N), bool)
@@ -147,5 +147,6 @@ def prewarm_calibration(
             one_focal=one_focal,
             polish_iters=pi,
             skip_pose_init=skip,
+            pose_init_f32=p32,
         )
         res.cost.block_until_ready()

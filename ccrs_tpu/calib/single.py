@@ -87,7 +87,7 @@ _pose_init_device = partial(jax.jit, static_argnames=("unproj",))(_pose_init_cor
     jax.jit,
     static_argnames=(
         "unproj", "project_fn", "one_focal", "max_iters", "huber_delta",
-        "polish_iters", "skip_pose_init",
+        "polish_iters", "skip_pose_init", "pose_init_f32",
     ),
 )
 def _calib_camera_device(
@@ -95,6 +95,7 @@ def _calib_camera_device(
     warm_poses, warm_valid,
     one_focal: bool, max_iters: int = 60, huber_delta: float = 1.0,
     polish_iters: int = 12, skip_pose_init: bool = False,
+    pose_init_f32: bool = False,
 ):
     """Whole single-camera calibration as ONE device graph:
     unproject -> planar-PnP pose init -> mixed-precision Schur LM bundle
@@ -124,17 +125,32 @@ def _calib_camera_device(
     unprojectABLE corners, a strictly tighter test) — the LM still
     damps/rejects, and the callers' sanity gates judge the result.  Only
     the warm (speculation-seeded) path uses this; the cold path keeps
-    exact reference semantics."""
+    exact reference semantics.
+
+    ``pose_init_f32`` (static): run the PnP init in native f32 instead of
+    emulated f64 (~10x cheaper) — ONLY for seed-quality solves (the
+    SPECULATIVE path): an f32-initialized FINAL solve measurably degraded
+    the optimum (see above), but the speculative output is re-polished by
+    the final solve anyway, and shaving its PnP shrinks the device graph
+    the detector's audit sweeps queue behind."""
     if skip_pose_init:
         poses0 = warm_poses
         frame_valid = (
             jnp.sum(mask, axis=1) >= MIN_PNP_POINTS
         ).astype(theta0.dtype)
     else:
+        f32 = jnp.float32
         poses0, frame_valid = _pose_init_core(
-            unproj, params_full, p2d, mask, p3d
+            unproj,
+            params_full.astype(f32) if pose_init_f32 else params_full,
+            p2d.astype(f32) if pose_init_f32 else p2d,
+            mask,
+            p3d.astype(f32) if pose_init_f32 else p3d,
         )
-        frame_valid = frame_valid * (jnp.sum(mask, axis=1) > 0)
+        poses0 = poses0.astype(theta0.dtype)
+        frame_valid = frame_valid.astype(theta0.dtype) * (
+            jnp.sum(mask, axis=1) > 0
+        )
         poses0 = jnp.where((warm_valid > 0)[:, None], warm_poses, poses0)
     res = ba_solve_mixed(
         project_fn, theta0, poses0, p3d, p2d, mask.astype(theta0.dtype),
@@ -173,6 +189,7 @@ def calib_camera(
     warm_valid: Optional[np.ndarray] = None,
     polish_iters: int = 12,
     skip_pose_init: bool = False,
+    pose_init_f32: bool = False,
 ) -> Optional[Tuple[GenericModel, Dict[int, RvecTvec]]]:
     """Full single-camera BA (``src/util.rs:384-490``).
 
@@ -223,6 +240,7 @@ def calib_camera(
         one_focal=xy_same_focal,
         polish_iters=polish_iters,
         skip_pose_init=skip_pose_init,
+        pose_init_f32=pose_init_f32,
     )
     frame_valid = np.asarray(frame_valid_j)
     if os.environ.get("CCRS_TIMING"):

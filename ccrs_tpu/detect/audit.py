@@ -181,7 +181,9 @@ class AuditPolicy:
         # (or when no heavy round is needed at all): a repaired carry
         # re-tracks downstream frames and clears most 1-2-tag flickers
         # for free (measured: sweeping lights before the resweep audited
-        # 81 frames where waiting audits 31).
+        # 81 frames where waiting audits 31; re-measured with the
+        # representative rule — merging lights into round 1 still LOST,
+        # 54 -> 71 triggers and a third serial round, 1.57 -> 1.70 s).
         merge_light = (not heavy) or self.rounds > 1
         if self.rounds > 1:
             # The lead-per-row policy pays off only while re-sweeps
