@@ -51,6 +51,36 @@ def spec_stride(n_frames: int) -> int:
     return max(1, -(-n_frames // SPEC_MAX_FRAMES))
 
 
+def fill_poses_lerp(poses: np.ndarray, valid: np.ndarray) -> bool:
+    """Fill invalid rows of a (F, 6) rvec|tvec pose array by per-component
+    lerp between the valid neighbors, IN PLACE; rows outside the valid
+    range clamp to the nearest.  Returns True when every row is filled.
+
+    Axis-angle double cover: consecutive valid rvecs can land on opposite
+    representatives (``r`` vs ``(1 - 2*pi/|r|) * r``), and lerping across
+    such a flip produces a garbage rotation (measured: a seed bad enough
+    to exhaust the final LM's 60-iteration f32 budget).  Each valid rvec
+    is first re-branched to the representative nearest its predecessor.
+    """
+    idx = np.flatnonzero(valid)
+    if len(idx) < 2:
+        return False
+    r = poses[idx, :3].copy()
+    for k in range(1, len(idx)):
+        n = float(np.linalg.norm(r[k]))
+        if n > 1e-9:
+            alt = r[k] * (1.0 - 2.0 * np.pi / n)
+            if np.sum((alt - r[k - 1]) ** 2) < np.sum(
+                (r[k] - r[k - 1]) ** 2
+            ):
+                r[k] = alt
+    poses[idx, :3] = r
+    allf = np.arange(poses.shape[0])
+    for d in range(6):
+        poses[:, d] = np.interp(allf, idx, poses[idx, d])
+    return True
+
+
 def init_and_calibrate_one_camera(
     board: Board,
     batch: FrameBatch,
@@ -330,34 +360,13 @@ class SpeculativeCalib:
                 poses[i * stride, 3:] = rt.tvec
                 valid[i * stride] = 1.0
             # fill the unsolved frames (subsample-skipped AND spec-solve
-            # failures) by per-component lerp between the solved
-            # neighbors — video trajectories are smooth; frames outside
-            # the solved range clamp to the nearest.  A FULL-coverage
-            # warm seed lets the final solve skip its in-graph PnP init,
-            # which is 0.48 s of the 0.60 s warm-solve floor at 534
-            # frames (calib_camera skip_pose_init); the lerp seed costs
-            # a few extra f32 LM iterations, a fraction of that.
-            idx = np.flatnonzero(valid)
-            if len(idx) >= 2:
-                # axis-angle double cover: consecutive solved rvecs can
-                # land on opposite representatives (r vs (1-2pi/|r|)r);
-                # lerping across such a flip produces a garbage rotation
-                # (measured: seed bad enough to exhaust the final LM's
-                # 60-iteration f32 budget).  Re-branch each rvec to the
-                # representative nearest its predecessor first.
-                r = poses[idx, :3].copy()
-                for k in range(1, len(idx)):
-                    n = float(np.linalg.norm(r[k]))
-                    if n > 1e-9:
-                        alt = r[k] * (1.0 - 2.0 * np.pi / n)
-                        if np.sum((alt - r[k - 1]) ** 2) < np.sum(
-                            (r[k] - r[k - 1]) ** 2
-                        ):
-                            r[k] = alt
-                poses[idx, :3] = r
-                allf = np.arange(F_all)
-                for d in range(6):
-                    poses[:, d] = np.interp(allf, idx, poses[idx, d])
+            # failures) by rvec-continuity-safe lerp between the solved
+            # neighbors (fill_poses_lerp).  A FULL-coverage warm seed
+            # lets the final solve skip its in-graph PnP init, which is
+            # 0.48 s of the 0.60 s warm-solve floor at 534 frames
+            # (calib_camera skip_pose_init); the lerp seed costs a few
+            # extra f32 LM iterations, a fraction of that.
+            if fill_poses_lerp(poses, valid):
                 valid[:] = 1.0
             init_frames = init_and_calibrate_one_camera.last_init_frames
             if init_frames is not None:
