@@ -136,22 +136,14 @@ class AuditPolicy:
     def _novel(self, f: int, fails: Set[int]) -> Set[int]:
         return fails - self.known_bad_at(f)
 
-    # ------------------------------------------------------------ rounds
-    def plan_round(
+    # ------------------------------------------------------------ classification
+    def _classify(
         self,
         fails_sets: Sequence[Set[int]],
         acc_counts: np.ndarray,
         in_cold: Set[int],
-    ) -> Optional[RoundPlan]:
-        """Classify every frame and pick this round's audit set.
-
-        fails_sets[f]: local tag ids that hard-failed on frame f
-        (attempted & !accepted & !benign — the detector recomputes these
-        after each resweep); acc_counts[f]: accepted tag count; in_cold:
-        frames that already have cold results (never re-audited).
-
-        Returns None when no suspects remain (the loop's exit).
-        """
+    ) -> Tuple[List[int], List[int]]:
+        """(heavy, light) suspect frames under the current observations."""
         B = len(fails_sets)
         heavy: List[int] = []
         for f in range(B):
@@ -174,6 +166,25 @@ class AuditPolicy:
             and f not in heavy_set
             and self._novel(f, fails_sets[f])
         ]
+        return heavy, light
+
+    # ------------------------------------------------------------ rounds
+    def plan_round(
+        self,
+        fails_sets: Sequence[Set[int]],
+        acc_counts: np.ndarray,
+        in_cold: Set[int],
+    ) -> Optional[RoundPlan]:
+        """Classify every frame and pick this round's audit set.
+
+        fails_sets[f]: local tag ids that hard-failed on frame f
+        (attempted & !accepted & !benign — the detector recomputes these
+        after each resweep); acc_counts[f]: accepted tag count; in_cold:
+        frames that already have cold results (never re-audited).
+
+        Returns None when no suspects remain (the loop's exit).
+        """
+        heavy, light = self._classify(fails_sets, acc_counts, in_cold)
         if not heavy and not light:
             return None
         self.rounds += 1

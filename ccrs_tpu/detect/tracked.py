@@ -95,7 +95,13 @@ def detect_batch_tracked(det, dev_all, board) -> List[Dict[int, np.ndarray]]:
         gather, so the pipeline only ever sees its two precompiled
         shapes, and a 102-frame anchor sweep pays 104 frames of work
         instead of 128 (padding frames cost full link + host-CCL
-        time)."""
+        time).
+
+        (A concurrent PREFETCH of the pre-repair light suspects was
+        tried and REVERTED: repairs clear most lights, so only 5 of ~30
+        prefetched frames were used, while the prefetch's CCL contended
+        with this sweep on the single host core — round 1 slowed 0.21 ->
+        0.37 s for a ~0.05 s round-2 saving.)"""
         with stage(tag):
             res = det._detect_batch_cold(
                 dev_all, board, idx=np.asarray(frames, np.int64)
