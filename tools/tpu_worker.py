@@ -1,0 +1,61 @@
+"""Persistent TPU experiment worker: pays the per-session init once,
+then execs /tmp/cmd/<n>.py files as they appear (result -> /tmp/out/<n>.log).
+Shared globals persist across commands (ns dict).
+
+Why: on the remote-TPU (axon) backend every fresh python process pays a
+lazy device->host transfer-path init measured at 11-360 s, plus per-graph
+executable loads.  Iterating on perf with one process per experiment is
+hopeless; this worker pays the init ONCE and then runs experiment
+snippets in seconds.  importlib.reload() of edited ccrs_tpu modules works
+from snippets (jit graphs re-hit the .xla_cache).
+
+Usage:
+    nohup python tools/tpu_worker.py > /tmp/worker.log 2>&1 &
+    cat > /tmp/cmd/01_demo.py <<'EOF'
+    import jax.numpy as jnp
+    print((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum())
+    EOF
+    # result appears in /tmp/out/01_demo.log; files run in sorted order
+"""
+import os, sys, time, traceback, io, contextlib
+
+os.makedirs("/tmp/cmd", exist_ok=True)
+os.makedirs("/tmp/out", exist_ok=True)
+
+t0 = time.time()
+sys.path.insert(0, "/root/repo")
+os.environ["CCRS_TIMING"] = "1"
+os.environ["CCRS_TIMING_SPANS"] = "1"
+import numpy as np
+import jax, jax.numpy as jnp
+# prime d2h + h2d transfer paths (lazy init measured at up to 340 s/session)
+x = jnp.ones((8, 8), jnp.float32)
+np.asarray(x * 2)
+jnp.asarray(np.zeros((8, 8), np.float32)).block_until_ready()
+print(f"[worker] primed in {time.time()-t0:.1f}s", flush=True)
+
+ns = {"np": np, "jax": jax, "jnp": jnp, "time": time}
+done = set()
+open("/tmp/worker_ready", "w").write("ok")
+while True:
+    for f in sorted(os.listdir("/tmp/cmd")):
+        if not f.endswith(".py") or f in done:
+            continue
+        done.add(f)
+        out = io.StringIO()
+        t1 = time.time()
+        try:
+            src = open(f"/tmp/cmd/{f}").read()
+            with contextlib.redirect_stdout(out), contextlib.redirect_stderr(out):
+                exec(compile(src, f, "exec"), ns)
+            status = "ok"
+        except SystemExit:
+            raise
+        except Exception:
+            out.write(traceback.format_exc())
+            status = "err"
+        body = out.getvalue()
+        with open(f"/tmp/out/{f[:-3]}.log", "w") as fh:
+            fh.write(f"[{status} {time.time()-t1:.1f}s]\n{body}")
+        print(f"[worker] {f}: {status} {time.time()-t1:.1f}s", flush=True)
+    time.sleep(0.5)
