@@ -30,10 +30,9 @@ Policy summary (measured tradeoffs are cited inline):
 * LIGHT suspects (1-2 flickering tags on an otherwise healthy frame) ride
   the same batched sweep but never trigger resweeps, and they wait until
   after round-1 repairs (a repaired carry clears most flickers for free;
-  measured 81 -> 31 audited frames on the 534-frame bench).  Within one
-  round, a flickering tag is audited on ONE representative frame per
-  ~TTL window (the stamp covers the rest; see plan_round) — measured
-  44 -> ~9 light audits on the same bench.
+  measured 81 -> 31 audited frames on the 534-frame bench).  All merged
+  lights are audited — audit cost is sweep-count-dominated on this link,
+  so trimming frames per sweep doesn't pay (see plan_round).
 * known_bad = tags whose hard failure a cold audit CONFIRMED (occlusion,
   rim clipping); their later failures don't re-trigger for KB_TTL frames,
   so a persistent blind spot costs one audit per ~2 segments instead of
@@ -240,34 +239,19 @@ class AuditPolicy:
         lead_set = set(lead)
         light_set: Set[int] = set()
         if merge_light:
+            # ALL merged lights are audited in one sweep.  A one-
+            # representative-per-(tag, TTL-window) rule was tried and
+            # REVERTED: it cut audited frames 74 -> 54, but on this
+            # link the audit cost is SWEEP-count-dominated (~0.2 s
+            # fixed pipeline cost per batched sweep vs ~2.5 ms per
+            # frame), and reps whose audit FOUND the tag forced a third
+            # serial round for their windows — measured 1.43 s vs
+            # 1.33 s best on the 534-frame bench (r04).  Auditing every
+            # light also stamps known_bad for every confirmed absence,
+            # which is strictly more suppression for streaming batches.
             extra = [f for f in light if f not in lead_set]
-            # ONE representative per (tag, ~TTL window): a marginal rim
-            # tag flickers for stretches of consecutive frames (measured
-            # r04 bench: 44 light frames, e.g. tag 7 failing on f223-229
-            # and f284-297), and auditing every one cold-detected ~35
-            # frames whose outcome was already decided by the first.
-            # Audit the window's first frame only; record_outcome stamps
-            # known_bad when cold confirms the absence, which suppresses
-            # the remaining frames of the window under exactly the
-            # cross-round TTL rule the policy already guarantees (the
-            # staleness bound is unchanged).  When cold FINDS the tag
-            # instead, no stamp lands, the other frames stay suspect,
-            # and the next round audits them — recall is preserved, it
-            # just costs one more (rare) round.
-            cover: Dict[int, int] = {}  # tag -> representative frame
-            reps: List[int] = []
-            for f in extra:
-                nov = self._novel(f, fails_sets[f])
-                fresh = [
-                    t for t in nov
-                    if t not in cover or f - cover[t] > self.kb_ttl
-                ]
-                if fresh:
-                    reps.append(f)
-                    for t in fresh:
-                        cover[t] = f
-            lead.extend(reps)
-            light_set = set(reps)
+            lead.extend(extra)
+            light_set = set(extra)
         for f in lead:
             self.trigger_log.append((f, sorted(self._novel(f, fails_sets[f]))))
         return RoundPlan(lead=lead, light_set=light_set, no_resweep=no_resweep)
