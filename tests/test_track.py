@@ -210,3 +210,31 @@ def test_wave_advance_graph_direct():
     # the carry advanced: c1 slot of the new carry holds accepted corners
     new_c1, new_v1 = np.asarray(carry2[4]), np.asarray(carry2[5])
     assert (new_v1[0] == acc[0]).all()
+
+
+def test_no_audits_no_speculation(video, monkeypatch):
+    """The provisional hook must fire ONLY when an audit round exists:
+    with zero audits there is nothing to overlap, and a speculation the
+    caller joins SERIALIZES in front of the final solve (measured
+    +0.08 s on the clean 128-frame 1024 bench regime)."""
+    import ccrs_tpu.detect.audit as audit_mod
+
+    board, imgs = video
+    # a batch that audits (the noisy fixture) fires the hook once
+    det = TagDetector("t36h11", track=True)
+    fired = []
+    det.on_provisional = lambda res: fired.append(len(res))
+    det.detect_batch(imgs, board=board)
+    assert det.stats["trigger_frames"] > 0
+    assert fired == [len(imgs)]
+
+    # the same batch with no suspects (policy reports none) must not
+    monkeypatch.setattr(
+        audit_mod.AuditPolicy, "plan_round", lambda self, *a: None
+    )
+    det2 = TagDetector("t36h11", track=True)
+    fired2 = []
+    det2.on_provisional = lambda res: fired2.append(len(res))
+    det2.detect_batch(imgs, board=board)
+    assert det2.stats["trigger_frames"] == 0
+    assert fired2 == [], "hook fired with nothing to overlap"
