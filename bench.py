@@ -301,6 +301,12 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
         )
 
         def pipeline_host(key):
+            # one whole-batch detect call on host images (the upload is
+            # one async enqueue; the first gather waits for it).  A
+            # CLI-style chunked variant (upload i+1 overlapping detect i)
+            # was measured WORSE here: every tracked detect_batch call
+            # pays per-batch anchor-triple + audit-round fixed costs
+            # (~0.5 s/call), which swamp the hidden upload.
             from ccrs_tpu.calib.pipeline import SpeculativeCalib
 
             detector.reset_tracking()

@@ -319,6 +319,10 @@ class SpeculativeCalib:
 
         if self._thread is not None:  # one speculation per batch
             return
+        if len(results) != len(self._args[1]):
+            # partial batch (e.g. a chunked/streaming detect call): the
+            # provisional frame indices wouldn't map to the full batch
+            return
         snapshot = [dict(r) for r in results]
         self._thread = threading.Thread(
             target=self._run, args=(snapshot,), daemon=True

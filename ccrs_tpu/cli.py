@@ -116,7 +116,15 @@ def load_feature_data(args, detector, board, recorder) -> List[FrameBatch]:
         from .calib.prewarm import prewarm_calibration
 
         try:
-            detector.prewarm(height, width, board)
+            from .dataloader import DETECT_BATCH
+
+            # the loader feeds DETECT_BATCH-frame tracked batches: warm
+            # the wave-row / gather shapes of THAT layout, not the whole
+            # dataset's (detect graph shapes key on the chunk length)
+            detector.prewarm(
+                height, width, board,
+                n_frames=min(n_frames, DETECT_BATCH),
+            )
             prewarm_calibration(
                 board,
                 min(n_frames, args.max_images),
