@@ -96,7 +96,8 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
     # remote loads are link/server-bound, so the two threads' RPCs overlap
     calib_thread = Thread(
         target=lambda: prewarm_calibration(
-            board, n_frames, "eucm", CalibParams(), size, size
+            board, n_frames, "eucm", CalibParams(), size, size,
+            speculative=True,
         ),
         daemon=True,
     )

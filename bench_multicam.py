@@ -147,7 +147,10 @@ def run(C=8, F=1000, vis_frac=0.75):
     # nor cost-gamed (rms can't go below the noise floor on this many
     # residuals), so the wall-clock can't be bought with a loose solve
     @jax.jit
-    def rms_of(theta_j, ext_j, poses_j, w_j):
+    def rms_of(theta_j, ext_j, poses_j, w_j, p2d_j, p3d_j):
+        # w/p2d/p3d enter as jit ARGUMENTS: closing over the numpy arrays
+        # baked ~tens of MB of observations into the executable as HLO
+        # constants, shipped over the tunnel on every fresh compile
         def per_cam(c_params, c_ext, w_c, p2d_c):
             rv, tv = se3.compose(
                 jnp.broadcast_to(c_ext[:3], (F, 3)),
@@ -155,16 +158,21 @@ def run(C=8, F=1000, vis_frac=0.75):
                 poses_j[:, :3], poses_j[:, 3:],
             )
             pc = jnp.einsum(
-                "fij,nj->fni", se3.exp_so3(rv), jnp.asarray(p3d)
+                "fij,nj->fni", se3.exp_so3(rv), p3d_j
             ) + tv[:, None, :]
             pr, _ = project_eucm(c_params, pc)
-            r2 = ((pr - jnp.asarray(p2d_c)) ** 2).sum(-1)
+            r2 = ((pr - p2d_c) ** 2).sum(-1)
             return (r2 * w_c).sum(), w_c.sum()
 
-        s2, n = jax.vmap(per_cam)(theta_j, ext_j, jnp.asarray(w), jnp.asarray(p2d))
+        s2, n = jax.vmap(per_cam)(theta_j, ext_j, w_j, p2d_j)
         return jnp.sqrt(s2.sum() / (2.0 * n.sum()))
 
-    rms = float(rms_of(res.theta, res.ext, res.poses, jnp.asarray(w)))
+    rms = float(
+        rms_of(
+            res.theta, res.ext, res.poses,
+            jnp.asarray(w), jnp.asarray(p2d), jnp.asarray(p3d),
+        )
+    )
     print(
         f"iters={int(res.n_iters)} cost={float(res.cost):.4f} "
         f"focal_rel_err={focal_err:.2e} ext_err={ext_err:.2e} "

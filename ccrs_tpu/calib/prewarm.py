@@ -32,6 +32,7 @@ def prewarm_calibration(
     calib_params: CalibParams | None = None,
     width: int = 512,
     height: int = 512,
+    speculative: bool = False,
 ) -> None:
     """Execute the init + BA device graphs on dummy data of the real shapes.
 
@@ -39,6 +40,11 @@ def prewarm_calibration(
     simply pays the loads itself if this hasn't finished.  Dummy data makes
     the solvers converge to garbage quickly (stall exits); only the graph
     load matters.
+
+    ``speculative``: also warm the SpeculativeCalib-only executables (the
+    subsampled f32-PnP seed solve and the skip_pose_init warm-path final
+    solve).  Callers that never speculate (the streaming CLI) skip them —
+    each is a remote executable load of several seconds.
     """
     import jax
     import jax.numpy as jnp
@@ -120,15 +126,16 @@ def prewarm_calibration(
     from .pipeline import spec_stride
 
     F_spec = len(range(0, n_frames, spec_stride(n_frames)))
-    # (F, polish, skip_pose_init) triples: the final solve runs the
-    # no-PnP variant when the speculative seed covers every frame
-    # (pipeline.init_and_calibrate_one_camera warm path) and the full
-    # PnP graph when running cold; the spec solve is always cold-style
-    for F, pi, skip, p32 in (
-        (n_frames, 12, True, False),
-        (n_frames, 12, False, False),
-        (F_spec, 2, False, True),
-    ):
+    # (F, polish, skip_pose_init, f32-PnP) rows: the cold full-PnP final
+    # solve always warms; the no-PnP warm-path final and the subsampled
+    # f32-PnP seed solve only exist when the caller speculates
+    variants = [(n_frames, 12, False, False)]
+    if speculative:
+        variants += [
+            (n_frames, 12, True, False),
+            (F_spec, 2, False, True),
+        ]
+    for F, pi, skip, p32 in variants:
         p2d = rng.uniform(0, width, (F, N, 2))
         mask = np.ones((F, N), bool)
         res, fv = _calib_camera_device(

@@ -140,6 +140,7 @@ def _detect_sequence(
                 import jax.numpy as jnp
 
                 dev = jnp.asarray(raw)  # async h2d enqueue
+                raw = None  # uploaded; don't hold ~50-200 MB per queued chunk
             pending.append((raw, dev, chunk_meta))
             chunk_imgs, chunk_meta = [], []
 

@@ -208,7 +208,13 @@ class AuditPolicy:
             seen_rows: Set[int] = set()
             lead = []
             no_resweep = set()
-            for f in heavy:
+            # the LEAD of a row is its earliest heavy suspect in SWEEP
+            # order (min pos_of), not in frame order: odd rows sweep
+            # backward, and picking the ascending-frame first suspect
+            # there chose the sweep-TAIL frame — its resweep window
+            # (row_frames[pos+1:]) was empty, so the repair mechanism
+            # never fired for backward rows
+            for f in sorted(heavy, key=lambda f: int(self.layout.pos_of[f])):
                 r = int(self.layout.row_of[f])
                 if r < 0:
                     lead.append(f)

@@ -44,7 +44,9 @@ def stage(name: str):
         t1 = time.perf_counter()
         _totals[name] += t1 - t0
         _counts[name] += 1
-        if _SPANS:
+        if _SPANS and len(_span_list) < 100_000:
+            # bounded: a long-lived process (tools/tpu_worker.py) with
+            # spans enabled and no reset() must not leak unboundedly
             _span_list.append(
                 (name, threading.current_thread().name, t0, t1)
             )

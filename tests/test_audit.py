@@ -216,3 +216,24 @@ def test_trigger_log_records_novel_failures():
     fails[5] = {3, 1, 2}
     pol.plan_round(fails, acc, set())
     assert pol.trigger_log == [(5, [1, 2, 3])]
+
+
+def test_lead_per_row_backward_row_uses_sweep_order():
+    """Odd rows sweep BACKWARD: the lead must be the earliest heavy frame
+    in SWEEP order (min pos_of), not the lowest frame index — picking the
+    ascending-frame first suspect there chose the sweep-tail frame, whose
+    resweep window is empty, so the repair mechanism never fired."""
+    # row 1 sweeps frames 19..3 backward (pos 0 = frame 19)
+    rows = {1: list(range(19, 2, -1))}
+    pol = make_policy(rows=rows, seg_expect={0: N_TAGS})
+    fails, acc = healthy(20)
+    fails[5] = {1, 2, 3}   # sweep-late (pos 14)
+    fails[12] = {1, 2, 3}  # sweep-early (pos 7) -> must be the lead
+    plan = pol.plan_round(fails, acc, set())
+    assert plan.lead == [12]
+    # an improvement at the lead reseeds the DOWNSTREAM (backward) rest
+    jobs = pol.resweep_jobs([12], plan.no_resweep)
+    assert len(jobs) == 1
+    rest, seeds = jobs[0]
+    assert rest[0] == 11 and 5 in rest  # frames after 12 in sweep order
+    assert seeds == (12, 13, 14)  # f-d, with d=-1 for odd rows

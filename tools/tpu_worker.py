@@ -41,6 +41,14 @@ while True:
     for f in sorted(os.listdir("/tmp/cmd")):
         if not f.endswith(".py") or f in done:
             continue
+        # a file being `cat >`-written can be picked up half-complete
+        # (0.5 s poll vs non-atomic writes): wait until it has been
+        # quiet for a second before running it
+        try:
+            if time.time() - os.path.getmtime(f"/tmp/cmd/{f}") < 1.0:
+                continue
+        except OSError:
+            continue
         done.add(f)
         out = io.StringIO()
         t1 = time.time()
