@@ -231,17 +231,18 @@ class AuditPolicy:
                         or int(acc_counts[f]) < row_thr
                     ):
                         # MASS failure (an oblique/rim stretch where
-                        # decode struggles): the row's remaining frames
-                        # go straight to cold — repair-and-resweep would
-                        # just re-fail
+                        # decode struggles): repair-and-resweep would
+                        # just re-fail, so exclude the row from repair.
+                        # Its downstream suspects are NOT eagerly colded
+                        # here: the lead's audit stamps known_bad for
+                        # every confirmed absence, and round 2 plans the
+                        # remaining suspects AFTER those stamps land —
+                        # eagerly extending the whole row (or even just
+                        # its suspects) pre-empts that suppression
+                        # cascade and audited 103-114 frames where the
+                        # staged version audits ~74 (measured r04,
+                        # 534-frame bench).
                         no_resweep.add(r)
-                        lead.extend(
-                            ff
-                            for ff in self.layout.row_frames[r][
-                                int(self.layout.pos_of[f]) + 1 :
-                            ]
-                            if ff not in in_cold
-                        )
         lead_set = set(lead)
         light_set: Set[int] = set()
         if merge_light:

@@ -126,13 +126,22 @@ def test_mass_failure_sends_row_cold_no_resweep():
     pol = make_policy()
     fails, acc = healthy(20)
     fails[5] = set(range(N_TAGS // 4))  # mass failure at the lead
+    fails[7] = {1, 2, 3}  # downstream, same tags: stamp-suppressed
+    fails[9] = {20, 21, 22}  # downstream, NOVEL tags: audited round 2
     plan = pol.plan_round(fails, acc, set())
-    # whole rest of the row goes straight to cold...
-    assert plan.lead[0] == 5
-    assert set(plan.lead) >= set(range(5, 20))
+    # only the lead audits this round: its stamps suppress downstream
+    # suspicion before round 2 plans the remainder (eager extension
+    # measured 103-114 audits where staging audits ~74)
+    assert plan.lead == [5]
     # ...and the row is excluded from resweep-repair
     assert 0 in plan.no_resweep
     assert pol.resweep_jobs([5], plan.no_resweep) == []
+    # round 2: frame 7's failures were cold-confirmed absent at the lead
+    # (the stamp covers it), frame 9's novel tags still audit
+    pol.record_outcome(plan, fails, {5: set()}, {5: False})
+    plan2 = pol.plan_round(fails, acc, {5})
+    assert plan2 is not None
+    assert 7 not in plan2.lead and 9 in plan2.lead
 
 
 def test_known_bad_ttl_suppresses_then_expires():
