@@ -191,12 +191,15 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
                 file=sys.stderr,
             )
 
-    # timed runs: best of 3 (the remote-TPU link has high latency variance)
+    # timed runs: best of 5 (the remote-TPU link's latency/bandwidth
+    # DRIFTS within a session — measured 42 -> 23 MB/s over ~2 h, with
+    # identical-code best runs spanning 1.33-1.70 s; extra reps cost ~2 s
+    # each and halve the lottery)
     if collect_stages:
         profiling.enable()
     elapsed = float("inf")
     stages = {}
-    for rep in range(3):
+    for rep in range(5 if collect_stages else 3):
         profiling.reset()
         t0 = time.perf_counter()
         batch, (model, rtvecs) = pipeline(key(1))
