@@ -242,12 +242,23 @@ def calibrate_camera_with_retries(
     rng = np.random.default_rng(seed)
     best_gated = None
     warm = warm_provider() if warm_provider is not None else None
+    # observability: did a speculative warm seed exist, and did the
+    # returned solution come from the warm-seeded trial?  bench.py
+    # reports these as spec_used; a silent speculation-disable regression
+    # then fails the bench assert instead of showing up only as fps
+    calibrate_camera_with_retries.last_warm_offered = warm is not None
+    calibrate_camera_with_retries.last_spec_used = False
     # the warm attempt is a BONUS trial: if it fails the gate, the full
     # cold ladder still runs exactly as without speculation
     trials = ([None] if warm is not None else []) + list(range(MAX_TRIALS))
     for trial in trials:
-        with cpu_scope():
-            key, sub = jax.random.split(key)
+        if trial is None:
+            sub = key  # warm path skips init: don't consume a split, so
+            # the cold ladder draws EXACTLY as it would without
+            # speculation (speculation may change timing, never results)
+        else:
+            with cpu_scope():
+                key, sub = jax.random.split(key)
         init_and_calibrate_one_camera.last_gated = None
         result = init_and_calibrate_one_camera(
             board, batch, target_model, calib_params, sub,
@@ -255,6 +266,8 @@ def calibrate_camera_with_retries(
             warm=warm if trial is None else None,
         )
         if result is not None:
+            if trial is None:
+                calibrate_camera_with_retries.last_spec_used = True
             return result
         gated = init_and_calibrate_one_camera.last_gated
         if gated is not None and (best_gated is None or gated[0] < best_gated[0]):
@@ -334,6 +347,15 @@ class SpeculativeCalib:
 
         board, times, target_model, calib_params, key, w, h = self._args
         try:
+            # derive the init key EXACTLY as the retry ladder's trial 0
+            # does (calibrate_camera_with_retries splits once per cold
+            # trial): the speculation must compute the same init the
+            # cold path would — same RANSAC draws, same convergence
+            # basin — just earlier.  A raw-key spec init was measured
+            # landing in a DIFFERENT (and once wrong-but-under-the-gate)
+            # basin on a 22-frame dataset.
+            with cpu_scope():
+                _, key = jax.random.split(key)
             F_all = len(results)
             # subsample to <= SPEC_MAX_FRAMES (see its docstring: shrinks
             # the device-contention window the audits queue behind, and
@@ -370,7 +392,28 @@ class SpeculativeCalib:
             # 0.48 s of the 0.60 s warm-solve floor at 534 frames
             # (calib_camera skip_pose_init); the lerp seed costs a few
             # extra f32 LM iterations, a fraction of that.
-            if fill_poses_lerp(poses, valid):
+            #
+            # ONLY short gaps may be filled: the lerp is trustworthy
+            # across a subsample stride of smooth video, but when the
+            # provisional detections left long runs of unsolved frames
+            # (e.g. fast motion defeating the tracker mid-segment — the
+            # audits repair those frames AFTER this solve), linear
+            # interpolation across many frames of handheld motion
+            # produces garbage seeds, and with the PnP skipped the final
+            # LM converged to a WRONG basin under the 2 px sanity gate
+            # (measured: 22-frame CLI dataset, fx 196.6 vs 191.1, alpha
+            # 0.14 vs 0.62, median 0.38 px).  Long-gap frames keep
+            # valid=0 — the final solve PnP-inits them exactly as the
+            # cold path would.
+            idx = np.flatnonzero(valid)
+            max_gap = 3 * stride
+            gaps_ok = (
+                len(idx) >= 2
+                and idx[0] <= max_gap
+                and (F_all - 1 - idx[-1]) <= max_gap
+                and int(np.diff(idx).max()) <= max_gap
+            )
+            if gaps_ok and fill_poses_lerp(poses, valid):
                 valid[:] = 1.0
             init_frames = init_and_calibrate_one_camera.last_init_frames
             if init_frames is not None:

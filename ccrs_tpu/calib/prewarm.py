@@ -33,6 +33,7 @@ def prewarm_calibration(
     width: int = 512,
     height: int = 512,
     speculative: bool = False,
+    n_frames_spec: int | None = None,
 ) -> None:
     """Execute the init + BA device graphs on dummy data of the real shapes.
 
@@ -43,8 +44,11 @@ def prewarm_calibration(
 
     ``speculative``: also warm the SpeculativeCalib-only executables (the
     subsampled f32-PnP seed solve and the skip_pose_init warm-path final
-    solve).  Callers that never speculate (the streaming CLI) skip them —
-    each is a remote executable load of several seconds.
+    solve) — each is a remote executable load of several seconds, so
+    callers that never speculate skip them.  ``n_frames_spec``: the frame
+    count the SPECULATION sees (the CLI speculates on the full detected
+    sequence but truncates the final batch to --max-images, so the two
+    shapes can differ); defaults to ``n_frames``.
     """
     import jax
     import jax.numpy as jnp
@@ -125,7 +129,8 @@ def prewarm_calibration(
     # (F, N) shapes
     from .pipeline import spec_stride
 
-    F_spec = len(range(0, n_frames, spec_stride(n_frames)))
+    n_spec = n_frames if n_frames_spec is None else n_frames_spec
+    F_spec = len(range(0, n_spec, spec_stride(n_spec)))
     # (F, polish, skip_pose_init, f32-PnP) rows: the cold full-PnP final
     # solve always warms; the no-PnP warm-path final and the subsampled
     # f32-PnP seed solve only exist when the caller speculates

@@ -104,7 +104,28 @@ def setup_output_folder(args) -> str:
     return folder
 
 
-def load_feature_data(args, detector, board, recorder) -> List[FrameBatch]:
+def _cam_calib_params(args, cam_idx: int) -> CalibParams:
+    """Per-camera CalibParams; --fixed-focal applies to cam0 only
+    (``src/bin/camera_calibration.rs:218``)."""
+    return CalibParams(
+        fixed_focal=args.fixed_focal if cam_idx == 0 else None,
+        disabled_distortion_num=args.disabled_distortion_num,
+        one_focal=args.one_focal,
+    )
+
+
+def load_feature_data(
+    args, detector, board, recorder, specs=None, cam_keys=None
+) -> List[FrameBatch]:
+    """Detect features for every camera.
+
+    ``specs``/``cam_keys``: optional dict + per-camera PRNG keys enabling
+    SPECULATIVE calibration — a SpeculativeCalib per camera is registered
+    on the detector so the init+BA solve overlaps the detection audit
+    sweeps, and the warm result is stored in ``specs[cam_idx]`` for
+    ``calibrate_all_cameras`` to consume (the benched architecture; the
+    final solve still runs on the final detections to full convergence).
+    """
     print("Start loading images and detecting charts.")
     t0 = time.perf_counter()
     loader = load_euroc if args.dataset_format == "euroc" else load_general
@@ -129,20 +150,33 @@ def load_feature_data(args, detector, board, recorder) -> List[FrameBatch]:
                 board,
                 min(n_frames, args.max_images),
                 args.model,
-                CalibParams(
-                    fixed_focal=args.fixed_focal,
-                    disabled_distortion_num=args.disabled_distortion_num,
-                    one_focal=args.one_focal,
-                ),
+                _cam_calib_params(args, 0),
                 width,
                 height,
+                speculative=specs is not None,
+                n_frames_spec=n_frames,
             )
         except Exception:  # pragma: no cover - warmup must never kill a run
             log.exception("prewarm failed (continuing; first solve pays loads)")
 
+    spec_factory = None
+    if specs is not None:
+        from .calib.pipeline import SpeculativeCalib
+        from .models import zeros_like_model
+
+        def spec_factory(cam_idx, times, width, height):
+            spec = SpeculativeCalib(
+                board, times, zeros_like_model(args.model),
+                _cam_calib_params(args, cam_idx), cam_keys[cam_idx],
+                width, height,
+            )
+            specs[cam_idx] = spec
+            return spec.on_provisional
+
     batches = loader(
         args.path, detector, board, args.start_idx, args.step, args.cam_num,
         recorder, cache_dir=args.detection_cache, prewarm_cb=prewarm_cb,
+        spec_factory=spec_factory,
     )
     dt = time.perf_counter() - t0
     print(f"detecting feature took {dt:.6f} sec")
@@ -163,22 +197,39 @@ def load_feature_data(args, detector, board, recorder) -> List[FrameBatch]:
     return [b.truncate(args.max_images) for b in batches]
 
 
-def calibrate_all_cameras(args, board, batches, recorder, key):
-    import jax
+def _warm_adapter(spec, batch):
+    """Wrap SpeculativeCalib.take for a batch that may have been
+    TRUNCATED after detection (--max-images, matching the reference's
+    truncate-after-detect, ``src/bin/camera_calibration.rs:190-191``):
+    clip the warm pose rows to the batch length."""
+    if spec is None:
+        return None
 
+    def provider():
+        warm = spec.take()
+        if warm is None:
+            return None
+        model, poses, valid, init_frames = warm
+        F = batch.n_frames
+        if len(poses) < F:  # pragma: no cover - defensive
+            return None
+        return (model, poses[:F], valid[:F], init_frames)
+
+    return provider
+
+
+def calibrate_all_cameras(args, board, batches, recorder, cam_keys, specs=None):
     intrinsics, cam_rtvecs = [], []
     for cam_idx, batch in enumerate(batches):
-        calib_params = CalibParams(
-            fixed_focal=args.fixed_focal if cam_idx == 0 else None,
-            disabled_distortion_num=args.disabled_distortion_num,
-            one_focal=args.one_focal,
+        calib_params = _cam_calib_params(args, cam_idx)
+        warm_provider = _warm_adapter(
+            (specs or {}).get(cam_idx), batch
         )
-        with cpu_scope():
-            key, sub = jax.random.split(key)
         try:
             result = calibrate_camera_with_retries(
-                board, batch, zeros_like_model(args.model), calib_params, sub,
-                seed=args.seed + cam_idx,
+                board, batch, zeros_like_model(args.model), calib_params,
+                cam_keys[cam_idx], seed=args.seed + cam_idx,
+                warm_provider=warm_provider,
             )
         except RuntimeError as e:
             raise SystemExit(f"cam{cam_idx}: {e}")
@@ -188,9 +239,15 @@ def calibrate_all_cameras(args, board, batches, recorder, key):
         init_frames = init_and_calibrate_one_camera.last_init_frames
         if init_frames is not None:
             # /cam{i}/keyframe{j} markers for the two init frames
-            # (src/util.rs:898-908)
+            # (src/util.rs:898-908); a warm-start's init frames can sit
+            # past a --max-images truncation — skip those markers
             recorder.log_keyframes(
-                cam_idx, [int(batch.time_ns[f]) for f in init_frames]
+                cam_idx,
+                [
+                    int(batch.time_ns[f])
+                    for f in init_frames
+                    if 0 <= f < batch.n_frames
+                ],
             )
         intrinsics.append(model)
         cam_rtvecs.append(rtvecs)
@@ -293,12 +350,24 @@ def main(argv=None):
     profile_dir = os.environ.get("CCRS_PROFILE_DIR")
     ctx = with_profiler(profile_dir) if profile_dir else contextlib.nullcontext()
     with ctx:
-        batches = load_feature_data(args, detector, board, recorder)
+        # per-camera keys are derived UP FRONT so the speculative solve
+        # (registered before detection) and the final solve share a key,
+        # exactly as the bench composition does (bench.py pipeline())
         with cpu_scope():
             key = jax.random.PRNGKey(args.seed)
             key, sub = jax.random.split(key)
+            cam_keys = list(jax.random.split(sub, max(args.cam_num, 1)))
+        # speculative calibration overlaps the final detection audits
+        # (the benched architecture, now the product path — VERDICT r04
+        # #1); CCRS_SPECULATE=0 opts out
+        specs = (
+            {} if os.environ.get("CCRS_SPECULATE", "1") != "0" else None
+        )
+        batches = load_feature_data(
+            args, detector, board, recorder, specs=specs, cam_keys=cam_keys
+        )
         intrinsics, cam_rtvecs = calibrate_all_cameras(
-            args, board, batches, recorder, sub
+            args, board, batches, recorder, cam_keys, specs=specs
         )
         t_cam_i_0 = init_camera_extrinsic(cam_rtvecs)
         for t in t_cam_i_0:

@@ -75,6 +75,7 @@ def _detect_sequence(
     recorder=None,
     cam_idx: int = 0,
     prewarm_cb=None,
+    spec_factory=None,
 ) -> FrameBatch:
     """Decode + detect a whole sequence, overlapping host IO with device
     detection; returns a timestamp-sorted FrameBatch.
@@ -83,6 +84,20 @@ def _detect_sequence(
     background thread as soon as the first image reveals the frame size —
     the CLI uses it to overlap detector + calibration graph loads with
     image decoding (each remote-TPU graph pays a load on first use).
+
+    ``spec_factory(cam_idx, times_ns_sorted, width, height)``, when
+    given, is called once (same moment as prewarm_cb) and must return an
+    ``on_provisional`` hook (or None) — the CLI uses it to register a
+    SpeculativeCalib so calibration overlaps the detection audits
+    (calib/pipeline.SpeculativeCalib; the hook fires once per sequence
+    from the tracked session's finalize with every frame's provisional
+    detections).
+
+    Detection is STREAMED through a TrackedSession (detect/tracked.py):
+    each decoded chunk is uploaded asynchronously and fed while the next
+    chunk decodes/uploads, and the audit rounds run once over the whole
+    sequence — so a chunked dataset run costs what the whole-batch bench
+    composition costs instead of paying per-chunk audit fixed costs.
     """
     if not paths:
         return FrameBatch(
@@ -94,8 +109,10 @@ def _detect_sequence(
     times_ns = [times_ns[i] for i in order]
     # each camera is an independent video: don't track across the boundary
     detector.reset_tracking()
+    session = detector.begin_tracked(board)
 
     detections = []
+    rec_meta = []  # (t_ns, img) retained for deferred Rerun logging
     width = height = None
     try:
         from tqdm import tqdm
@@ -113,10 +130,10 @@ def _detect_sequence(
         # chunk i overlaps the transfer (measured 42 MB/s on the remote
         # tunnel — serialized uploads dominate the host-image path) with
         # the device/host detection work.  Only the common grayscale-uint8
-        # case pre-uploads; anything else takes detect_batch's own
-        # conversion path.
+        # case pre-uploads; anything else converts host-side first.
         pending: list = []
         import jax
+        import jax.numpy as jnp
 
         accel = jax.default_backend() != "cpu"
 
@@ -135,26 +152,25 @@ def _detect_sequence(
             if accel and 0 < len(chunk_imgs) < DETECT_BATCH < len(paths):
                 pad = DETECT_BATCH - len(chunk_imgs)
                 raw = np.concatenate([raw, np.repeat(raw[-1:], pad, 0)])
-            dev = None
-            if raw.ndim == 3 and raw.dtype == np.uint8:
-                import jax.numpy as jnp
+            if not (raw.ndim == 3 and raw.dtype == np.uint8):
+                # color / 16-bit / float input: grayscale on host (the
+                # session needs dtype-homogeneous device chunks)
+                from .detect.detector import _to_gray_f32
 
-                dev = jnp.asarray(raw)  # async h2d enqueue
-                raw = None  # uploaded; don't hold ~50-200 MB per queued chunk
-            pending.append((raw, dev, chunk_meta))
+                raw = np.stack([_to_gray_f32(im) for im in raw])
+            dev = jnp.asarray(raw)  # async h2d enqueue
+            pending.append((dev, chunk_meta))  # raw dropped: ~50-200 MB/chunk
             chunk_imgs, chunk_meta = [], []
 
         def process_one():
-            raw, dev, meta = pending.pop(0)
-            if dev is not None:
-                dets = detector.detect_batch(None, board=board, dev_images=dev)
+            dev, meta = pending.pop(0)
+            if session is not None:
+                session.feed(dev, n_valid=len(meta))
             else:
-                dets = detector.detect_batch(raw, board=board)
-            dets = dets[: len(meta)]  # drop tail-padding results
-            detections.extend(dets)
+                dets = detector.detect_batch(None, board=board, dev_images=dev)
+                detections.extend(dets[: len(meta)])
             if recorder is not None:
-                for (t_ns, img), det in zip(meta, dets):
-                    recorder.log_camera_image(cam_idx, t_ns, img, det)
+                rec_meta.extend(meta)
             if progress is not None:
                 progress.update(len(meta))
 
@@ -162,6 +178,13 @@ def _detect_sequence(
             img = fut.result()
             if width is None:
                 height, width = img.shape[:2]
+                if spec_factory is not None:
+                    try:
+                        detector.on_provisional = spec_factory(
+                            cam_idx, list(times_ns), width, height
+                        )
+                    except Exception:  # pragma: no cover - spec is optional
+                        log.exception("spec_factory failed; running cold")
                 if prewarm_cb is not None:
                     from threading import Thread
 
@@ -171,7 +194,7 @@ def _detect_sequence(
                         daemon=True,
                     ).start()
             chunk_imgs.append(img)
-            chunk_meta.append((t_ns, img))
+            chunk_meta.append((t_ns, img) if recorder is not None else (t_ns, None))
             if len(chunk_imgs) >= DETECT_BATCH:
                 submit()
                 while len(pending) > 1:
@@ -179,8 +202,15 @@ def _detect_sequence(
         submit()
         while pending:
             process_one()
+        if session is not None:
+            detections = session.finalize()
     if progress is not None:
         progress.close()
+    if spec_factory is not None:
+        detector.on_provisional = None
+    if recorder is not None:
+        for (t_ns, img), det in zip(rec_meta, detections):
+            recorder.log_camera_image(cam_idx, t_ns, img, det)
 
     return FrameBatch.from_detections(
         detections, times_ns, board, width, height, MIN_CORNERS
@@ -202,7 +232,7 @@ def _cache_path(cache_dir, cam_idx, paths, detector, board):
 
 
 def _detect_or_load(paths, times, detector, board, recorder, cam_idx, cache_dir,
-                    prewarm_cb=None):
+                    prewarm_cb=None, spec_factory=None):
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         cpath = _cache_path(cache_dir, cam_idx, paths, detector, board)
@@ -210,7 +240,8 @@ def _detect_or_load(paths, times, detector, board, recorder, cam_idx, cache_dir,
             log.info("cam%d: loading cached detections from %s", cam_idx, cpath)
             return FrameBatch.load(cpath)
     batch = _detect_sequence(
-        paths, times, detector, board, recorder, cam_idx, prewarm_cb
+        paths, times, detector, board, recorder, cam_idx, prewarm_cb,
+        spec_factory,
     )
     if cache_dir:
         batch.save(cpath)
@@ -227,6 +258,7 @@ def load_euroc(
     recorder=None,
     cache_dir: str = None,
     prewarm_cb=None,
+    spec_factory=None,
 ) -> List[FrameBatch]:
     """EuRoC layout: {root}/mav0/cam{i}/data/* (``src/data_loader.rs:95``)."""
     out = []
@@ -238,7 +270,7 @@ def load_euroc(
         times = [_path_timestamp(p) for p in paths]
         batch = _detect_or_load(
             paths, times, detector, board, recorder, cam_idx, cache_dir,
-            prewarm_cb if cam_idx == 0 else None,
+            prewarm_cb if cam_idx == 0 else None, spec_factory,
         )
         log.info(
             "cam%d: %d images, %d usable frames, %.3fs",
@@ -258,6 +290,7 @@ def load_general(
     recorder=None,
     cache_dir: str = None,
     prewarm_cb=None,
+    spec_factory=None,
 ) -> List[FrameBatch]:
     """General layout: {root}/**/cam{i}/**/* with synthetic timestamps
     idx * 1e8 ns (``src/data_loader.rs:160-214``)."""
@@ -270,7 +303,7 @@ def load_general(
         out.append(
             _detect_or_load(
                 paths, times, detector, board, recorder, cam_idx, cache_dir,
-                prewarm_cb if cam_idx == 0 else None,
+                prewarm_cb if cam_idx == 0 else None, spec_factory,
             )
         )
     return out

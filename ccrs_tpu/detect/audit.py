@@ -25,8 +25,11 @@ Policy summary (measured tradeoffs are cited inline):
   LEADING heavy suspect of each sweep row is audited, and when the audit
   recovers tags the rest of the row is RE-SWEPT from the corrected frame
   (one bad stretch must not turn its half-segment into per-frame audits).
-  A lead with MASS failure sends its whole row straight to cold — repair
-  would just re-fail.
+  A lead with MASS failure excludes its row from resweep-repair (repair
+  would just re-fail); the row's remaining suspects are NOT eagerly
+  colded — they are re-planned in round 2, AFTER the lead's audit stamps
+  known_bad for every confirmed absence, so the stamp suppression can
+  shrink the set first (see the plan_round inline measurement).
 * LIGHT suspects (1-2 flickering tags on an otherwise healthy frame) ride
   the same batched sweep but never trigger resweeps, and they wait until
   after round-1 repairs (a repaired carry clears most flickers for free;
@@ -203,7 +206,10 @@ class AuditPolicy:
             # sweep, with no further resweep (guarantees this is the
             # final round).
             lead = list(heavy)
-            no_resweep = set(range(-1, 2 * max(len(self.seg_expect), 1)))
+            # every known row (keys, not a dense range: a streaming
+            # session's global row ids are bucket-aligned per chunk and
+            # therefore non-contiguous), plus -1 for rowless frames
+            no_resweep = set(self.layout.row_frames.keys()) | {-1}
         else:
             seen_rows: Set[int] = set()
             lead = []

@@ -288,6 +288,21 @@ class TagDetector:
         correctness)."""
         self._tstate = None
 
+    def begin_tracked(self, board):
+        """Open a streaming tracked-detection session (see
+        tracked.TrackedSession): ``feed`` device chunks as they become
+        available, ``finalize`` once for the whole sequence — chunked
+        callers then pay the audit-round fixed costs once per sequence
+        (not once per chunk) and the provisional hook fires with every
+        frame.  Returns None when the tracked fast path is unavailable
+        (no board / tracking disabled / refine off); callers fall back
+        to per-chunk ``detect_batch`` calls."""
+        if board is None or not (self.track and self.refine):
+            return None
+        from .tracked import TrackedSession
+
+        return TrackedSession(self, board)
+
     def prewarm(
         self, height: int, width: int, board=None, n_frames: int | None = None
     ) -> None:

@@ -64,6 +64,38 @@ def test_cli_full_run(dataset, tmp_path, monkeypatch):
     assert set(first) == {"rvec", "tvec"}
 
 
+@pytest.mark.slow
+def test_cli_chunked_speculation_fires(dataset, tmp_path, monkeypatch):
+    """The CLI's streaming (chunked) loader must fire the speculative
+    calibration and the final solve must consume the warm seed — the
+    benched architecture IS the product path (VERDICT r04 #1/#5).  A
+    silent spec-disable (e.g. a batch-shape gate regression) fails here,
+    not just as an unexplained fps drop."""
+    import ccrs_tpu.dataloader as dl
+    from ccrs_tpu.calib.pipeline import calibrate_camera_with_retries as ccwr
+
+    root, gt = dataset
+    out = tmp_path / "out_spec"
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(dl, "DETECT_BATCH", 8)  # force multi-chunk feeds
+    main(
+        [
+            str(root / "dataset"),
+            "--model", "eucm",
+            "--output-folder", str(out),
+            "--no-rerun",
+            "--seed", "1",
+        ]
+    )
+    assert ccwr.last_warm_offered, "speculation never produced a warm seed"
+    assert ccwr.last_spec_used, "final solve did not consume the warm seed"
+    # and the result matches the no-spec run's optimum (same ground truth
+    # gates as test_cli_full_run)
+    blob = json.loads((out / "cam0.json").read_text())["EUCM"]
+    assert abs(blob["fx"] - gt.params[0]) / gt.params[0] < 0.01
+    assert abs(blob["alpha"] - gt.params[4]) < 0.02
+
+
 def test_cli_bad_path(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     with pytest.raises(SystemExit):

@@ -200,6 +200,44 @@ def test_speculative_subsampled_matches_cold(monkeypatch):
     )
 
 
+def test_speculative_long_gap_keeps_pnp():
+    """A provisional batch with a LONG unsolved run (fast motion defeating
+    the tracker mid-segment; the audits repair those frames only AFTER
+    the speculation fires) must NOT be lerp-filled into a full-coverage
+    seed: linear interpolation across many frames of handheld motion
+    produces garbage poses, and with the PnP skipped the final solve was
+    measured converging to a WRONG basin under the sanity gate (fx 196.6
+    vs 191.1 on a 22-frame CLI dataset).  Long-gap frames must keep
+    warm_valid=0 so the final solve PnP-inits them."""
+    board = create_default_6x6_board()
+    fam = get_family("t36h11")
+    gt = GenericModel("eucm", GT, 512, 512)
+    poses = smooth_sequence_poses(22, board, seed=3)
+    solved = [0, 1, 2, 19, 20, 21]
+    imgs = np.stack(
+        [
+            render_board_image(
+                gt, board, fam, poses[f][:3], poses[f][3:], noise=1.0, seed=f
+            )
+            for f in solved
+        ]
+    )
+    dets = TagDetector("t36h11", track=False).detect_batch(imgs, board=board)
+    results = [dict() for _ in range(22)]
+    for f, d in zip(solved, dets):
+        results[f] = d
+    spec = SpeculativeCalib(
+        board, list(range(22)), zeros_like_model("eucm"), CalibParams(),
+        jr.PRNGKey(7), 512, 512,
+    )
+    spec.on_provisional(results)
+    warm = spec.take()
+    assert warm is not None, "spec solve should succeed on the 6 frames"
+    _, _, valid, _ = warm
+    assert not np.all(valid > 0), "17-frame gap must not claim full coverage"
+    assert set(np.flatnonzero(valid)) <= set(solved)
+
+
 def test_speculative_pipeline_end_to_end():
     """Tracked detect with the on_provisional hook + warm-start retries
     must produce the same calibration as the cold pipeline."""

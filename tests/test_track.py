@@ -151,6 +151,72 @@ def test_track_carry_across_calls(bench_like_video):
             np.testing.assert_allclose(a[tid], b[tid], atol=0.2)
 
 
+def test_tracked_session_streaming_matches_whole_batch(bench_like_video):
+    """The streaming session (chunked feeds + one finalize) must agree
+    with the whole-batch call: chunk boundaries only shift the anchor
+    cadence, so marginal tags may flicker, but the bulk of each frame
+    matches exactly and the audit guarantee holds across the merge."""
+    board, imgs = bench_like_video  # 48 frames
+    det = TagDetector("t36h11", track=True)
+    whole = det.detect_batch(imgs, board=board)
+
+    det2 = TagDetector("t36h11", track=True)
+    s = det2.begin_tracked(board)
+    assert s is not None
+    s.feed(jnp.asarray(imgs[:20]))
+    s.feed(jnp.asarray(imgs[20:40]))
+    # padded tail (the dataloader pads ragged tails to the batch shape)
+    tail = np.concatenate([imgs[40:], np.repeat(imgs[-1:], 12, 0)])
+    s.feed(jnp.asarray(tail), n_valid=8)
+    parts = s.finalize()
+    assert len(parts) == 48
+    n_whole = sum(len(r) for r in whole)
+    n_parts = sum(len(r) for r in parts)
+    assert abs(n_whole - n_parts) <= 0.01 * n_whole, (n_whole, n_parts)
+    for f, (a, b) in enumerate(zip(whole, parts)):
+        # chunk-boundary frames flip between anchor(cold) and tracked
+        # roles, and tracking holds rim tags the cold candidate stages
+        # drop — a few marginal tags may differ per frame (same bound
+        # regime as test_track_carry_across_calls, plus the tail anchor)
+        assert len(set(a) ^ set(b)) <= 4, f"frame {f}: {set(a) ^ set(b)}"
+        # shared tags agree to refine tolerance, except marginal tags a
+        # different audit layout recovered via a different mechanism
+        # (tracked refine vs cold+assist) — allow <=2 such outliers
+        bad = sum(
+            1
+            for tid in set(a) & set(b)
+            if np.abs(a[tid] - b[tid]).max() > 0.25
+        )
+        assert bad <= 2, f"frame {f}: {bad} corner outliers"
+    assert det2.stats["frames"] == 60  # padded count (bookkeeping sanity)
+
+
+def test_tracked_session_provisional_fires_once_with_all_frames(
+    bench_like_video,
+):
+    """The session's provisional hook must fire at most once, with the
+    full (unpadded) frame list — chunked callers get working speculation
+    (VERDICT r04 #1/#5).  When it fires, results must already carry the
+    steady-state detections (audit corrections are the only delta)."""
+    board, imgs = bench_like_video
+    det = TagDetector("t36h11", track=True)
+    calls = []
+    det.on_provisional = lambda results: calls.append(results)
+    s = det.begin_tracked(board)
+    s.feed(jnp.asarray(imgs[:24]))
+    tail = np.concatenate([imgs[24:], np.repeat(imgs[-1:], 0, 0)])
+    s.feed(jnp.asarray(tail))
+    final = s.finalize()
+    assert len(calls) <= 1
+    if det.stats["trigger_frames"] > 0:
+        # audits existed, so the hook must have fired (lazy-fire rule)
+        assert len(calls) == 1
+        assert len(calls[0]) == 48
+        # provisional detections are near-final: most frames already full
+        assert sum(len(r) >= 20 for r in calls[0]) >= 40
+    assert len(final) == 48
+
+
 def test_wave_advance_graph_direct():
     """Unit-level: wave_advance decodes tags from an exact-prediction seed,
     masks inactive rows, and reports acc <= att.
