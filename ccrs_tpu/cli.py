@@ -133,7 +133,13 @@ def load_feature_data(
     def prewarm_cb(width, height, n_frames):
         # overlap detector + calibration graph loads with image decoding
         # (remote-TPU graphs pay a per-executable load on first use); safe
-        # no-op on CPU where compiles are cheap anyway
+        # no-op on CPU where compiles are cheap anyway.  CCRS_PREWARM=0
+        # opts out — in a process whose graphs are ALREADY loaded (e.g.
+        # bench.py's repeated in-process cli runs) the prewarm's dummy
+        # executions contend with the first chunk's detection for the
+        # one-graph-at-a-time remote device.
+        if os.environ.get("CCRS_PREWARM", "1") == "0":
+            return
         from .calib.prewarm import prewarm_calibration
 
         try:

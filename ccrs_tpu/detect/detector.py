@@ -220,6 +220,7 @@ class TagDetector:
         native_refine: bool = True,  # kept for API compat; refinement now
         # always runs inside the fused device graph
         track: bool | None = None,
+        shard: bool | None = None,
     ):
         self.family: TagFamily = (
             family if isinstance(family, TagFamily) else get_family(family)
@@ -281,6 +282,37 @@ class TagDetector:
         # _detect_batch_tracked; calib/pipeline.SpeculativeCalib)
         self.on_provisional = None
         self._tstate = None
+        # frame-shard the device stages over the mesh (parallel/mesh.py)
+        # when the process sees >1 accelerator device — detection is
+        # embarrassingly frame-parallel, so the batch rides the SAME
+        # NamedSharding the solvers use (SURVEY.md §5 stretch row).
+        # None = auto: shard on a real multi-device accelerator; the
+        # 8-virtual-device CPU mesh of the test harness stays opt-in
+        # (CCRS_SHARD_DETECT=1 or shard=True) so single-chip behavior is
+        # what CI measures by default.
+        if shard is None:
+            env = os.environ.get("CCRS_SHARD_DETECT")
+            shard = env == "1" if env is not None else None
+        self.shard = shard
+
+    def _shard_frames(self, arr):
+        """device_put a (B, ...) batch with the frame NamedSharding when
+        multi-device sharding is on (see ``shard`` in __init__) and B
+        divides the mesh; no-op otherwise."""
+        import jax
+
+        use = self.shard
+        if use is None:
+            devs = jax.devices()
+            use = len(devs) > 1 and devs[0].platform != "cpu"
+        if not use:
+            return arr
+        devs = jax.devices()
+        if len(devs) <= 1 or arr.shape[0] % len(devs) != 0:
+            return arr
+        from ..parallel.mesh import make_mesh, sharded_frame_sharding
+
+        return jax.device_put(arr, sharded_frame_sharding(make_mesh()))
 
     def reset_tracking(self) -> None:
         """Drop the frame-to-frame tracking carry (call between cameras /
@@ -586,6 +618,7 @@ class TagDetector:
                 dev_all = jnp.asarray(raw)
             else:
                 dev_all = jnp.asarray(np.stack([_to_gray_f32(im) for im in raw]))
+        dev_all = self._shard_frames(dev_all)
         B, H, W = dev_all.shape
 
         # Video fast path: board-informed wave tracking (see track.py).

@@ -94,6 +94,7 @@ class TrackedSession:
         assert self.n_valid == self.n_padded, (
             "only the last feed may carry tail padding"
         )
+        dev_chunk = self.det._shard_frames(dev_chunk)
         self.chunks.append(dev_chunk)
         self._feed_impl(dev_chunk)
         self.n_valid += n_valid

