@@ -322,13 +322,17 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
         )
 
         def pipeline_host(key):
-            # one whole-batch detect call on host images (the upload is
-            # one async enqueue; the first gather waits for it).  A
-            # CLI-style chunked variant (upload i+1 overlapping detect i)
-            # was measured WORSE here: every tracked detect_batch call
-            # pays per-batch anchor-triple + audit-round fixed costs
-            # (~0.5 s/call), which swamp the hidden upload.
+            # the PRODUCT composition for host-resident frames: chunked
+            # async uploads feeding a streaming TrackedSession, audits
+            # once per sequence (detect/tracked.py).  All chunk uploads
+            # are enqueued up front (jnp.asarray is an async enqueue, the
+            # link streams them in order), so chunk-0 detection starts
+            # after ~1/3 of the transfer instead of all of it.  (r04's
+            # whole-batch single call replaced a chunked variant that
+            # re-paid per-call anchor+audit fixed costs; the session
+            # amortizes those, so chunking now WINS.)
             from ccrs_tpu.calib.pipeline import SpeculativeCalib
+            from ccrs_tpu.dataloader import DETECT_BATCH
 
             detector.reset_tracking()
             spec = SpeculativeCalib(
@@ -336,7 +340,20 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
                 size, size,
             )
             detector.on_provisional = spec.on_provisional
-            dets = detector.detect_batch(host_imgs, board=board)
+            session = detector.begin_tracked(board)
+            devs, sizes = [], []
+            for off in range(0, n_frames, DETECT_BATCH):
+                chunk = host_imgs[off : off + DETECT_BATCH]
+                nv = chunk.shape[0]
+                if nv < DETECT_BATCH and n_frames > DETECT_BATCH:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], DETECT_BATCH - nv, 0)]
+                    )
+                devs.append(jnp.asarray(chunk))  # async h2d enqueue
+                sizes.append(nv)
+            for d, nv in zip(devs, sizes):
+                session.feed(d, n_valid=nv)
+            dets = session.finalize()
             batch = FrameBatch.from_detections(dets, times, board, size, size)
             result = calibrate_camera_with_retries(
                 board, batch, zeros_like_model("eucm"), CalibParams(), key,
