@@ -491,6 +491,13 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
         # upload no timed run performs) — its OWN key, never mixed into
         # the timed-run stage totals
         extras["upload_sec"] = round(upload_sec, 3)
+        # the host-image path's physical ceiling THIS session: the link
+        # serializes uploads (threaded/chunked uploads measured NO
+        # overlap, unlike fetches), so a fully-overlapped host run cannot
+        # beat n_frames/upload_sec.  Link bandwidth drifts 8-42 MB/s
+        # between sessions — judge fps_host against this bound, not
+        # against another session's number.
+        extras["fps_host_bound"] = round(n_frames / upload_sec, 2)
     if fps_cli is not None:
         extras["fps_cli"] = round(fps_cli, 2)
         extras["spec_used_cli"] = spec_used_cli

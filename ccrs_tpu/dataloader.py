@@ -110,6 +110,10 @@ def _detect_sequence(
     # each camera is an independent video: don't track across the boundary
     detector.reset_tracking()
     session = detector.begin_tracked(board)
+    # deferred Rerun logging retains every frame's pixels until the
+    # session finalizes — only do that when the recorder actually records
+    if recorder is not None and not getattr(recorder, "active", True):
+        recorder = None
 
     detections = []
     rec_meta = []  # (t_ns, img) retained for deferred Rerun logging

@@ -422,12 +422,22 @@ class TrackedSession:
         self.results.extend(results)  # aliased: write_result mutates in place
 
         if B < 4:
-            # too short to track: cold-only, but still feed the carry
+            # too short to track: cold-only, but still feed the carry.
+            # The per-chunk observation arrays must still be appended —
+            # finalize concatenates them positionally across ALL chunks.
             coldres = cold_sweep_local(list(range(B)), "detect/track-cold")
             for f in range(B):
                 results[f] = coldres[f]
                 self.results[off + f] = coldres[f]
                 self.coldres[off + f] = coldres[f]
+            self._g_parts.append((
+                np.zeros((B, n_tags, 4, 2), np.float32),
+                np.zeros((B, n_tags), bool),
+                np.zeros((B, n_tags), bool),
+                np.zeros((B, n_tags), bool),
+            ))
+            self._row_of_parts.append(np.full(B, -1, np.int32))
+            self._pos_of_parts.append(np.full(B, -1, np.int32))
             if B >= 3:
                 st["prev"] = (results[-3], results[-2], results[-1])
             else:

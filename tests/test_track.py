@@ -191,6 +191,25 @@ def test_tracked_session_streaming_matches_whole_batch(bench_like_video):
     assert det2.stats["frames"] == 60  # padded count (bookkeeping sanity)
 
 
+def test_tracked_session_short_chunks(video):
+    """Tiny feeds (including a too-short-to-track 3-frame tail) must still
+    produce audited per-frame results equal in coverage to the cold
+    detector — the audit phase is the recall guarantee regardless of how
+    the stream was chunked."""
+    board, imgs = video  # 14 frames
+    cold = TagDetector("t36h11", track=False).detect_batch(imgs, board=board)
+    det = TagDetector("t36h11", track=True)
+    s = det.begin_tracked(board)
+    s.feed(jnp.asarray(imgs[:5]))
+    s.feed(jnp.asarray(imgs[5:11]))
+    s.feed(jnp.asarray(imgs[11:]))  # 3 frames: below the tracking minimum
+    res = s.finalize()
+    assert len(res) == 14
+    for f, (c, t) in enumerate(zip(cold, res)):
+        missing = set(c) - set(t)
+        assert not missing, f"frame {f}: session dropped tags {missing}"
+
+
 def test_tracked_session_provisional_fires_once_with_all_frames(
     bench_like_video,
 ):
