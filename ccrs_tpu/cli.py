@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["auto", "cpu", "tpu"],
         help="JAX backend to run on (auto = environment default)",
     )
+    p.add_argument(
+        "--no-speculate",
+        action="store_true",
+        help="disable speculative calibration (the solve that overlaps "
+        "detection audits; results are identical either way, speculation "
+        "only changes timing — CCRS_SPECULATE=0 is equivalent)",
+    )
     return p
 
 
@@ -366,9 +373,11 @@ def main(argv=None):
         # speculative calibration overlaps the final detection audits
         # (the benched architecture, now the product path — VERDICT r04
         # #1); CCRS_SPECULATE=0 opts out
-        specs = (
-            {} if os.environ.get("CCRS_SPECULATE", "1") != "0" else None
+        speculate = (
+            not args.no_speculate
+            and os.environ.get("CCRS_SPECULATE", "1") != "0"
         )
+        specs = {} if speculate else None
         batches = load_feature_data(
             args, detector, board, recorder, specs=specs, cam_keys=cam_keys
         )

@@ -81,3 +81,59 @@ def test_missing_folder_empty_batch(dataset):
     det = TagDetector("t36h11")
     b = load_euroc(str(root / "nope"), det, board)[0]
     assert b.n_frames == 0
+
+
+def test_recorder_deferred_logging_gets_final_detections(dataset):
+    """The streaming session defers Rerun frame logging to after
+    finalize: an ACTIVE recorder must receive one call per frame, in
+    timestamp order, with the image and the AUDITED detections; an
+    inactive recorder must receive none (and the loader must not retain
+    frames for it)."""
+
+    class FakeRecorder:
+        def __init__(self, active):
+            self.active = active
+            self.calls = []
+
+        def log_camera_image(self, cam_idx, t_ns, img, dets):
+            self.calls.append((cam_idx, t_ns, img, dets))
+
+    root, board = dataset
+    rec = FakeRecorder(active=True)
+    det = TagDetector("t36h11")
+    batches = load_euroc(str(root / "euroc"), det, board, recorder=rec)
+    assert len(rec.calls) == 6
+    assert [c[1] for c in rec.calls] == sorted(c[1] for c in rec.calls)
+    for _, _, img, dets in rec.calls:
+        assert img is not None and img.shape == (512, 512)
+        assert len(dets) >= 20  # audited, near-full-board detections
+    # detections logged must match the returned batch's corner data
+    b = batches[0]
+    assert b.frame_ok().sum() >= 5
+
+    off = FakeRecorder(active=False)
+    load_euroc(str(root / "euroc"), TagDetector("t36h11"), board, recorder=off)
+    assert off.calls == []
+
+
+def test_spec_factory_hook_lifecycle(dataset):
+    """spec_factory must be called once per camera with the sorted times
+    and frame size, its hook registered for the detect run, and the
+    detector's hook cleared afterwards."""
+    root, board = dataset
+    det = TagDetector("t36h11")
+    seen = {}
+
+    def factory(cam_idx, times, width, height):
+        seen["args"] = (cam_idx, list(times), width, height)
+
+        def hook(results):
+            seen["fired"] = len(results)
+
+        return hook
+
+    load_euroc(str(root / "euroc"), det, board, spec_factory=factory)
+    assert seen["args"][0] == 0
+    assert seen["args"][2:] == (512, 512)
+    assert seen["args"][1] == sorted(seen["args"][1])
+    assert det.on_provisional is None  # cleared after the sequence
