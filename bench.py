@@ -323,14 +323,11 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
 
         def pipeline_host(key):
             # the PRODUCT composition for host-resident frames: chunked
-            # async uploads feeding a streaming TrackedSession, audits
-            # once per sequence (detect/tracked.py).  All chunk uploads
-            # are enqueued up front (jnp.asarray is an async enqueue, the
-            # link streams them in order), so chunk-0 detection starts
-            # after ~1/3 of the transfer instead of all of it.  (r04's
-            # whole-batch single call replaced a chunked variant that
-            # re-paid per-call anchor+audit fixed costs; the session
-            # amortizes those, so chunking now WINS.)
+            # async uploads feeding a TrackedSession whose finalize runs
+            # ONE whole-batch detection (detect/tracked.py).  On this
+            # serial link chunked uploads time the same as one-shot, so
+            # this matches the r04 whole-batch host number while being
+            # the exact code path the CLI loader drives.
             from ccrs_tpu.calib.pipeline import SpeculativeCalib
             from ccrs_tpu.dataloader import DETECT_BATCH
 

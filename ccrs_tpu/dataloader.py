@@ -93,11 +93,11 @@ def _detect_sequence(
     from the tracked session's finalize with every frame's provisional
     detections).
 
-    Detection is STREAMED through a TrackedSession (detect/tracked.py):
-    each decoded chunk is uploaded asynchronously and fed while the next
-    chunk decodes/uploads, and the audit rounds run once over the whole
-    sequence — so a chunked dataset run costs what the whole-batch bench
-    composition costs instead of paying per-chunk audit fixed costs.
+    Detection goes through a TrackedSession (detect/tracked.py): decoded
+    chunks upload asynchronously while later images decode, then ONE
+    whole-batch tracked detection runs at finalize — so a chunked
+    dataset run costs exactly what the whole-batch bench composition
+    costs instead of paying per-chunk anchor/audit fixed costs.
     """
     if not paths:
         return FrameBatch(
