@@ -26,11 +26,11 @@ from .detect import TagDetector
 
 log = logging.getLogger(__name__)
 
-# tracked-detection batch: each detect_batch call pays per-batch anchor
-# triples + audit-round fixed costs (~0.5 s/call on the remote link), so
-# bigger batches amortize them; decode overlaps detection regardless (all
-# image reads run on the thread pool up front).  64 -> 192 measured ~3x
-# fewer audit sweeps on a 534-frame sequence; CCRS_DETECT_BATCH overrides.
+# streaming upload chunk: decoded frames upload to the device in batches
+# of this size while later images decode (the TrackedSession buffers
+# them; detection runs once over the whole sequence at finalize, so the
+# chunk size only sets upload granularity and the fixed shape the tail
+# pads to).  CCRS_DETECT_BATCH overrides.
 DETECT_BATCH = int(os.environ.get("CCRS_DETECT_BATCH", "192"))
 _EXTS = (".png", ".jpg")
 
