@@ -337,7 +337,9 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
                 size, size,
             )
             detector.on_provisional = spec.on_provisional
-            session = detector.begin_tracked(board)
+            # n_frames hint: same preallocated-buffer placement path the
+            # CLI loader drives (peak HBM O(sequence + chunk) there)
+            session = detector.begin_tracked(board, n_frames=n_frames)
             devs, sizes = [], []
             for off in range(0, n_frames, DETECT_BATCH):
                 chunk = host_imgs[off : off + DETECT_BATCH]
@@ -425,11 +427,21 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
                 file=sys.stderr,
             )
 
+            # keep the CLI's default-board-config artifact inside the
+            # tmpdir (setup_board otherwise writes
+            # default_board_config.json into the bench's CWD)
+            from ccrs_tpu.board import BoardConfig
+            from ccrs_tpu.io import object_to_json
+
+            bcfg_path = os.path.join(tmpd, "board_config.json")
+            object_to_json(bcfg_path, BoardConfig().to_json())
+
             def run_cli(tag, prewarm=False):
                 # timed in-process runs skip the prewarm: every graph is
                 # already loaded, and the dummy executions contend with
                 # chunk-1 detection on the one-graph-at-a-time device
                 # (a FRESH process keeps it — that's what it's for)
+                prev_prewarm = os.environ.get("CCRS_PREWARM")
                 os.environ["CCRS_PREWARM"] = "1" if prewarm else "0"
                 t0 = time.perf_counter()
                 try:
@@ -438,13 +450,19 @@ def run_config(size: int, n_frames: int, collect_stages: bool):
                             [
                                 os.path.join(tmpd, "dataset"),
                                 "--model", "eucm",
+                                "--board-config", bcfg_path,
                                 "--output-folder", os.path.join(tmpd, tag),
                                 "--no-rerun",
                                 "--seed", "11",
                             ]
                         )
                 finally:
-                    os.environ.pop("CCRS_PREWARM", None)
+                    # restore the caller's value (don't clobber an
+                    # exported CCRS_PREWARM=0 for the rest of the process)
+                    if prev_prewarm is None:
+                        os.environ.pop("CCRS_PREWARM", None)
+                    else:
+                        os.environ["CCRS_PREWARM"] = prev_prewarm
                 return time.perf_counter() - t0
 
             # CLI-only graph shapes load/compile here (prewarm on: this

@@ -92,6 +92,7 @@ def init_and_calibrate_one_camera(
     warm=None,
     polish_iters: int = 12,
     pose_init_f32: bool = False,
+    out: Optional[dict] = None,
 ) -> Optional[Tuple[GenericModel, Dict[int, RvecTvec]]]:
     """``warm``: optional (model, poses (F,6), pose_valid (F,),
     init_frames) from a speculative calibration on provisional
@@ -100,10 +101,19 @@ def init_and_calibrate_one_camera(
     ``polish_iters``: f64 polish budget passed to the BA (the
     speculative solve truncates it; its output is only a seed).
     ``pose_init_f32``: f32 PnP init (seed-quality solves only; see
-    calib_camera)."""
+    calib_camera).
+    ``out``: optional dict filled with per-attempt metadata —
+    ``init_frames`` (the two keyframes used) and ``gated`` ((median,
+    result) when the sanity gate rejected a converged solve).  PER-CALL
+    state, not function attributes: SpeculativeCalib runs this function
+    on a daemon thread per camera, so shared attributes let cam1's
+    speculative solve cross-contaminate cam0's retry ladder (one camera
+    could return another camera's gated calibration)."""
+    if out is None:
+        out = {}
     if warm is not None:
         final_model, warm_poses, warm_valid, init_frames = warm
-        init_and_calibrate_one_camera.last_init_frames = init_frames
+        out["init_frames"] = init_frames
         one_focal = calib_params.one_focal or (
             calib_params.fixed_focal is not None
         )
@@ -123,13 +133,13 @@ def init_and_calibrate_one_camera(
                 warm_poses=warm_poses, warm_valid=warm_valid,
                 skip_pose_init=skip,
             )
-        return _gate_result(board, batch, result)
+        return _gate_result(board, batch, result, out)
 
     frame0, frame1 = find_best_two_frames(batch, random_pick_two_frames, rng)
     log.info("init frames: %d, %d", frame0, frame1)
     # recorded for the caller's Rerun keyframe markers
     # (/cam{i}/keyframe{j}, matching src/util.rs:898-908)
-    init_and_calibrate_one_camera.last_init_frames = (frame0, frame1)
+    out["init_frames"] = (frame0, frame1)
 
     initial_camera = None
     with stage("calib/init"):
@@ -183,10 +193,10 @@ def init_and_calibrate_one_camera(
             polish_iters=polish_iters,
             pose_init_f32=pose_init_f32,
         )
-    return _gate_result(board, batch, result)
+    return _gate_result(board, batch, result, out)
 
 
-def _gate_result(board, batch, result):
+def _gate_result(board, batch, result, out):
     """Sanity gate (improvement over the reference, which only retries on
     solver failure): a "converged" solution with huge reprojection error
     usually means the init was degenerate — report failure so the retry
@@ -206,13 +216,9 @@ def _gate_result(board, batch, result):
         med = float(np.median(errs))
         if med > 2.0:
             log.warning("calibration sanity check failed (median %.2f px)", med)
-            init_and_calibrate_one_camera.last_gated = (med, result)
+            out["gated"] = (med, result)
             return None
     return result
-
-
-init_and_calibrate_one_camera.last_gated = None
-init_and_calibrate_one_camera.last_init_frames = None
 
 
 def calibrate_camera_with_retries(
@@ -259,25 +265,25 @@ def calibrate_camera_with_retries(
         else:
             with cpu_scope():
                 key, sub = jax.random.split(key)
-        init_and_calibrate_one_camera.last_gated = None
+        attempt: dict = {}
         result = init_and_calibrate_one_camera(
             board, batch, target_model, calib_params, sub,
             random_pick_two_frames=trial is not None and trial > 0, rng=rng,
-            warm=warm if trial is None else None,
+            warm=warm if trial is None else None, out=attempt,
         )
         if result is not None:
             if trial is None:
                 calibrate_camera_with_retries.last_spec_used = True
-            return result
-        gated = init_and_calibrate_one_camera.last_gated
-        if gated is not None and (best_gated is None or gated[0] < best_gated[0]):
-            # remember the trial's init frames with the attempt: a later
-            # trial overwrites last_init_frames, and the keyframe markers
-            # (cli.py log_keyframes) must describe the attempt actually
-            # returned, not the last one tried
-            best_gated = gated + (
-                init_and_calibrate_one_camera.last_init_frames,
+            calibrate_camera_with_retries.last_init_frames = attempt.get(
+                "init_frames"
             )
+            return result
+        gated = attempt.get("gated")
+        if gated is not None and (best_gated is None or gated[0] < best_gated[0]):
+            # remember the trial's init frames with the attempt: the
+            # keyframe markers (cli.py log_keyframes) must describe the
+            # attempt actually returned, not the last one tried
+            best_gated = gated + (attempt.get("init_frames"),)
     if best_gated is not None:
         log.warning(
             "all %d trials failed the sanity gate; returning the best "
@@ -285,9 +291,19 @@ def calibrate_camera_with_retries(
             "cannot represent this camera",
             MAX_TRIALS, best_gated[0],
         )
-        init_and_calibrate_one_camera.last_init_frames = best_gated[2]
+        calibrate_camera_with_retries.last_init_frames = best_gated[2]
         return best_gated[1]
     raise RuntimeError(f"Failed to calibrate camera after {MAX_TRIALS} trials")
+
+
+# per-RETURN metadata of the ladder (the keyframes of the attempt that
+# was returned, consumed by cli.py's Rerun markers).  Safe as a function
+# attribute: the ladder runs only on the caller's thread, serially per
+# camera — unlike init_and_calibrate_one_camera, which speculation also
+# runs on daemon threads (hence its per-call ``out`` dict).
+calibrate_camera_with_retries.last_init_frames = None
+calibrate_camera_with_retries.last_warm_offered = False
+calibrate_camera_with_retries.last_spec_used = False
 
 
 class SpeculativeCalib:
@@ -372,9 +388,10 @@ class SpeculativeCalib:
                 # the polish is the emulated-f64 (expensive) stage, and 2
                 # iterations keep the seed well inside the final solve's
                 # convergence basin while roughly halving the spec solve
+                attempt: dict = {}
                 res = init_and_calibrate_one_camera(
                     board, batch, target_model, calib_params, key,
-                    polish_iters=2, pose_init_f32=True,
+                    polish_iters=2, pose_init_f32=True, out=attempt,
                 )
             if res is None:
                 return
@@ -415,7 +432,7 @@ class SpeculativeCalib:
             )
             if gaps_ok and fill_poses_lerp(poses, valid):
                 valid[:] = 1.0
-            init_frames = init_and_calibrate_one_camera.last_init_frames
+            init_frames = attempt.get("init_frames")
             if init_frames is not None:
                 # map the sub-batch keyframe indices back to full-batch
                 # frame numbers (the Rerun keyframe markers use these)

@@ -152,13 +152,18 @@ def load_feature_data(
         try:
             from .dataloader import DETECT_BATCH
 
-            # the loader feeds DETECT_BATCH-frame tracked batches: warm
-            # the wave-row / gather shapes of THAT layout, not the whole
-            # dataset's (detect graph shapes key on the chunk length)
-            detector.prewarm(
-                height, width, board,
-                n_frames=min(n_frames, DETECT_BATCH),
-            )
+            # the loader streams DETECT_BATCH-frame upload chunks, but
+            # the TrackedSession runs ONE whole-batch detection at
+            # finalize whose wave-row/wave-count graph shapes key on the
+            # PADDED sequence length (tail padded to a DETECT_BATCH
+            # multiple on multi-chunk datasets) — warm THAT layout, not
+            # the chunk's, or the first detection pays the 30-90 s
+            # remote loads the prewarm exists to hide
+            if n_frames > DETECT_BATCH:
+                n_detect = -(-n_frames // DETECT_BATCH) * DETECT_BATCH
+            else:
+                n_detect = n_frames
+            detector.prewarm(height, width, board, n_frames=n_detect)
             prewarm_calibration(
                 board,
                 min(n_frames, args.max_images),
@@ -175,7 +180,6 @@ def load_feature_data(
     spec_factory = None
     if specs is not None:
         from .calib.pipeline import SpeculativeCalib
-        from .models import zeros_like_model
 
         def spec_factory(cam_idx, times, width, height):
             spec = SpeculativeCalib(
@@ -247,9 +251,7 @@ def calibrate_all_cameras(args, board, batches, recorder, cam_keys, specs=None):
         except RuntimeError as e:
             raise SystemExit(f"cam{cam_idx}: {e}")
         model, rtvecs = result
-        from .calib.pipeline import init_and_calibrate_one_camera
-
-        init_frames = init_and_calibrate_one_camera.last_init_frames
+        init_frames = calibrate_camera_with_retries.last_init_frames
         if init_frames is not None:
             # /cam{i}/keyframe{j} markers for the two init frames
             # (src/util.rs:898-908); a warm-start's init frames can sit

@@ -109,7 +109,7 @@ def _detect_sequence(
     times_ns = [times_ns[i] for i in order]
     # each camera is an independent video: don't track across the boundary
     detector.reset_tracking()
-    session = detector.begin_tracked(board)
+    session = detector.begin_tracked(board, n_frames=len(paths))
     # deferred Rerun logging retains every frame's pixels until the
     # session finalizes — only do that when the recorder actually records
     if recorder is not None and not getattr(recorder, "active", True):

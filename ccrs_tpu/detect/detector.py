@@ -320,20 +320,23 @@ class TagDetector:
         correctness)."""
         self._tstate = None
 
-    def begin_tracked(self, board):
+    def begin_tracked(self, board, n_frames: int | None = None):
         """Open a streaming tracked-detection session (see
         tracked.TrackedSession): ``feed`` device chunks as they become
         available, ``finalize`` once for the whole sequence — chunked
         callers then pay the audit-round fixed costs once per sequence
         (not once per chunk) and the provisional hook fires with every
-        frame.  Returns None when the tracked fast path is unavailable
+        frame.  ``n_frames``: expected sequence length — lets the
+        session preallocate its whole-sequence device buffer so feeds
+        land in place (peak HBM O(sequence + chunk), not 2x sequence).
+        Returns None when the tracked fast path is unavailable
         (no board / tracking disabled / refine off); callers fall back
         to per-chunk ``detect_batch`` calls."""
         if board is None or not (self.track and self.refine):
             return None
         from .tracked import TrackedSession
 
-        return TrackedSession(self, board)
+        return TrackedSession(self, board, n_frames=n_frames)
 
     def prewarm(
         self, height: int, width: int, board=None, n_frames: int | None = None

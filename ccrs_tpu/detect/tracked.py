@@ -29,9 +29,11 @@ device-resident one.
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,27 +43,57 @@ from .audit import AuditPolicy, RowLayout
 log = logging.getLogger(__name__)
 
 
+def _place_idx(off):
+    # all indices pinned int32: x64 weak-int promotion makes the literal
+    # 0s int64, and dynamic_update_slice requires one index dtype
+    z = jnp.zeros((), jnp.int32)
+    return (off.astype(jnp.int32), z, z)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _place_donated(buf, chunk, off):
+    return jax.lax.dynamic_update_slice(buf, chunk, _place_idx(off))
+
+
+@jax.jit
+def _place(buf, chunk, off):
+    # CPU backend: donation is unimplemented there and only warns
+    return jax.lax.dynamic_update_slice(buf, chunk, _place_idx(off))
+
+
 class TrackedSession:
     """Streaming wave-tracked detection over a chunked frame sequence.
 
     Usage (the dataloader's streaming path)::
 
-        session = detector.begin_tracked(board)
+        session = detector.begin_tracked(board, n_frames=len(paths))
         for chunk in chunks:                  # device arrays, in order
             session.feed(dev_chunk, n_valid)  # n_valid < B only on the tail
         results = session.finalize()          # audited, len == sum(n_valid)
 
-    ``feed`` buffers the chunk (its host->device transfer was already
-    enqueued asynchronously by the caller's ``jnp.asarray``); the caller
-    keeps decoding images while the link streams earlier chunks.
-    ``finalize`` concatenates the chunks (pure HBM copy; graph keyed on
-    the CHUNK COUNT) and runs the whole-batch tracked detection.
+    ``feed`` lands the chunk in a PREALLOCATED whole-sequence device
+    buffer via a donated ``dynamic_update_slice`` (one in-place
+    chunk-sized HBM copy) — the chunk's host->device transfer was
+    already enqueued asynchronously by the caller's ``jnp.asarray``, so
+    the caller keeps decoding images while the link streams earlier
+    chunks.  Peak device memory is O(sequence + one chunk); the
+    previous buffer-everything + ``jnp.concatenate`` composition peaked
+    at 2x the sequence (e.g. ~24 GB for a 2895-frame 1024² f32 TUM-VI
+    run — an HBM OOM on a 16 GB chip).  Without an ``n_frames`` hint
+    the session falls back to buffering + one concatenate.
+    ``finalize`` runs the whole-batch tracked detection.
+
+    ``n_frames``: expected caller-valid sequence length (capacity is
+    rounded up to a multiple of the first chunk's batch size, matching
+    the dataloader's pad-the-tail-chunk policy).
     """
 
-    def __init__(self, det, board):
+    def __init__(self, det, board, n_frames: Optional[int] = None):
         self.det = det
         self.board = board
+        self.n_hint = n_frames
         self.chunks: List = []
+        self._buf = None   # preallocated (cap, H, W) sequence buffer
         self.n_valid = 0   # caller-valid frames
         self.n_padded = 0  # fed frames incl. tail padding
         self._finalized = False
@@ -80,7 +112,33 @@ class TrackedSession:
         assert self.n_valid == self.n_padded, (
             "only the last feed may carry tail padding"
         )
-        self.chunks.append(self.det._shard_frames(dev_chunk))
+        if (
+            self._buf is None and not self.chunks
+            and self.n_hint is not None and self.n_hint > B
+        ):
+            cap = -(-self.n_hint // B) * B
+            self._buf = jnp.zeros(
+                (cap,) + tuple(dev_chunk.shape[1:]), dev_chunk.dtype
+            )
+        if self._buf is not None:
+            assert (
+                dev_chunk.dtype == self._buf.dtype
+                and tuple(dev_chunk.shape[1:]) == tuple(self._buf.shape[1:])
+            ), "chunks must be dtype/shape homogeneous"
+            if self.n_padded + B > self._buf.shape[0]:
+                # hint undershot (rare): grow by whole chunks
+                grow = -(-(self.n_padded + B - self._buf.shape[0]) // B) * B
+                self._buf = jnp.concatenate(
+                    [self._buf,
+                     jnp.zeros((grow,) + tuple(self._buf.shape[1:]),
+                               self._buf.dtype)], axis=0,
+                )
+            place = (
+                _place if jax.default_backend() == "cpu" else _place_donated
+            )
+            self._buf = place(self._buf, dev_chunk, np.int32(self.n_padded))
+        else:
+            self.chunks.append(dev_chunk)
         self.n_valid += n_valid
         self.n_padded += B
 
@@ -89,14 +147,24 @@ class TrackedSession:
         sequence; returns per-frame results (tail padding dropped)."""
         assert not self._finalized
         self._finalized = True
-        if not self.chunks:
+        if self._buf is not None:
+            dev_full = (
+                self._buf
+                if self._buf.shape[0] == self.n_padded
+                else self._buf[: self.n_padded]
+            )
+            self._buf = None
+        elif not self.chunks:
             return []
-        dev_full = (
-            self.chunks[0]
-            if len(self.chunks) == 1
-            else jnp.concatenate(self.chunks, axis=0)
-        )
-        self.chunks = None  # the concat owns the data now
+        else:
+            dev_full = (
+                self.chunks[0]
+                if len(self.chunks) == 1
+                else jnp.concatenate(self.chunks, axis=0)
+            )
+            self.chunks = None  # the concat owns the data now
+        # frame-shard once over the WHOLE sequence (multi-device runs)
+        dev_full = self.det._shard_frames(dev_full)
         results = _detect_tracked(
             self.det, dev_full, self.board, n_valid=self.n_valid
         )
@@ -199,11 +267,7 @@ def _detect_tracked(det, dev_all, board, n_valid: int):
         # too short to track: cold-only, but still feed the carry
         coldres = cold_sweep(list(range(B)), "detect/track-cold")
         results = [coldres[f] for f in range(B)]
-        if B >= 3:
-            st["prev"] = (results[-3], results[-2], results[-1])
-        else:
-            st["prev"] = None  # too short to re-seed a triple
-        st["frame_idx"] += B
+        _advance_carry(st, results, n_valid)
         return results
 
     # ---- anchor triple layout (global cadence K) -------------------
@@ -535,6 +599,20 @@ def _detect_tracked(det, dev_all, board, n_valid: int):
     if policy.trigger_log:
         det.stats["trigger_log"] = policy.trigger_log
 
-    st["prev"] = (results[B - 3], results[B - 2], results[B - 1])
-    st["frame_idx"] += B
+    _advance_carry(st, results, n_valid)
     return results
+
+
+def _advance_carry(st, results, n_valid: int) -> None:
+    """Advance the streaming carry past this batch using only the
+    caller-VALID frames: tail padding (repeats of the last frame) must
+    not seed the next call's triple (a zero-velocity triple mispredicts
+    on moving video) nor shift the global frame counter that known_bad
+    TTL windows are stamped against."""
+    if n_valid >= 3:
+        st["prev"] = (
+            results[n_valid - 3], results[n_valid - 2], results[n_valid - 1]
+        )
+    else:
+        st["prev"] = None  # too short to re-seed a triple
+    st["frame_idx"] += n_valid

@@ -35,6 +35,38 @@ def test_full_pipeline_eucm():
     assert median < 1e-6 and avg99 < 1e-6
 
 
+def test_attempt_metadata_is_per_call():
+    """Attempt metadata (init frames / gate info) lives in the caller's
+    ``out`` dict, not function attributes — SpeculativeCalib runs this
+    function on a daemon thread per camera, and shared attributes let
+    cam1's speculative solve cross-contaminate cam0's retry ladder
+    (round-5 review fix)."""
+    board = create_default_6x6_board()
+    gt = tumvi_like_eucm()
+    batch, _ = make_synthetic_batch(gt, board, n_frames=12, seed=5)
+    out = {}
+    result = init_and_calibrate_one_camera(
+        board, batch, zeros_like_model("eucm"), CalibParams(),
+        jax.random.PRNGKey(0), out=out,
+    )
+    assert result is not None
+    f0, f1 = out["init_frames"]
+    assert 0 <= f0 < 12 and 0 <= f1 < 12 and f0 != f1
+    # no shared mutable state on the function itself
+    assert not hasattr(init_and_calibrate_one_camera, "last_gated")
+    assert not hasattr(init_and_calibrate_one_camera, "last_init_frames")
+    # the retry ladder republishes the RETURNED attempt's keyframes
+    # (main-thread only) for the CLI's Rerun markers
+    from ccrs_tpu.calib.pipeline import calibrate_camera_with_retries
+
+    calibrate_camera_with_retries(
+        board, batch, zeros_like_model("eucm"), CalibParams(),
+        jax.random.PRNGKey(0),
+    )
+    lf = calibrate_camera_with_retries.last_init_frames
+    assert lf is not None and len(lf) == 2
+
+
 def test_full_pipeline_kb4_via_grid_convert():
     """Covers the grid-fit convert_model path (UCM -> KB4) + KB4 BA."""
     board = create_default_6x6_board()

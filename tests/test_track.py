@@ -191,6 +191,61 @@ def test_tracked_session_streaming_matches_whole_batch(bench_like_video):
     assert det2.stats["frames"] == 60  # padded count (bookkeeping sanity)
 
 
+def test_tracked_session_prealloc_buffer(bench_like_video):
+    """With an ``n_frames`` hint the session preallocates its
+    whole-sequence device buffer and places feeds in place (peak HBM
+    O(sequence + chunk)); results must be identical to the buffering
+    (no-hint) composition — same frames through the same whole-batch
+    detection."""
+    board, imgs = bench_like_video  # 48 frames
+    det = TagDetector("t36h11", track=True)
+    s = det.begin_tracked(board, n_frames=48)
+    assert s is not None
+    s.feed(jnp.asarray(imgs[:20]))
+    assert s._buf is not None and not s.chunks  # placement path engaged
+    assert s._buf.shape[0] == 60  # ceil(48/20)*20
+    s.feed(jnp.asarray(imgs[20:40]))
+    tail = np.concatenate([imgs[40:], np.repeat(imgs[-1:], 12, 0)])
+    s.feed(jnp.asarray(tail), n_valid=8)
+    res_hint = s.finalize()
+
+    det2 = TagDetector("t36h11", track=True)
+    s2 = det2.begin_tracked(board)  # no hint: buffer + concatenate
+    s2.feed(jnp.asarray(imgs[:20]))
+    assert s2._buf is None and len(s2.chunks) == 1
+    s2.feed(jnp.asarray(imgs[20:40]))
+    s2.feed(jnp.asarray(tail), n_valid=8)
+    res_concat = s2.finalize()
+
+    assert len(res_hint) == len(res_concat) == 48
+    for f, (a, b) in enumerate(zip(res_hint, res_concat)):
+        assert set(a) == set(b), f"frame {f}: {set(a) ^ set(b)}"
+        for tid in a:
+            np.testing.assert_array_equal(a[tid], b[tid])
+
+
+def test_tracked_session_padding_not_in_carry(bench_like_video):
+    """Tail padding must not leak into the streaming carry: after a
+    padded finalize the global frame counter advances by the VALID
+    count only, and the carry triple is the last three VALID frames —
+    a zero-velocity pad triple would mispredict the next call's first
+    segment and shift known_bad TTL windows (round-5 review fix)."""
+    board, imgs = bench_like_video  # 48 frames
+    det = TagDetector("t36h11", track=True)
+    s = det.begin_tracked(board)
+    tail = np.concatenate([imgs, np.repeat(imgs[-1:], 12, 0)])  # 60 padded
+    s.feed(jnp.asarray(tail), n_valid=48)
+    res = s.finalize()
+    assert len(res) == 48
+    st = det._tstate
+    assert st["frame_idx"] == 48  # not the padded 60
+    # the carry is the last three VALID frames' results
+    for carry_r, valid_r in zip(st["prev"], res[45:48]):
+        assert set(carry_r) == set(valid_r)
+        for tid in carry_r:
+            np.testing.assert_array_equal(carry_r[tid], valid_r[tid])
+
+
 def test_tracked_session_short_chunks(video):
     """Tiny feeds (including a too-short-to-track 3-frame tail) must still
     produce audited per-frame results equal in coverage to the cold
