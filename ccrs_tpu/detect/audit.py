@@ -288,7 +288,19 @@ class AuditPolicy:
         for f in plan.lead:
             for t in fails_sets[f]:
                 if t not in cold_tags.get(f, set()):
-                    self.known_bad[t] = self.g0 + f
+                    # keep the NEWEST confirmation: known_bad_at's check is
+                    # one-sided (g - s <= ttl), so the max stamp dominates
+                    # every older one.  Plain assignment let an EARLIER
+                    # lead (leads iterate in trigger order, not frame
+                    # order) overwrite a later frame's stamp — measured on
+                    # the 534-frame bench: tags 29/34/35's frame-518/428
+                    # confirmations were clobbered by lead 220, un-
+                    # suppressing 70 round-2 audits of absences cold had
+                    # already confirmed (82 trigger frames, 227/233
+                    # audited failures confirmed-absent).
+                    self.known_bad[t] = max(
+                        self.known_bad.get(t, -(1 << 60)), self.g0 + f
+                    )
             if added.get(f, False) and f not in plan.light_set:
                 improved.append(f)
         return improved

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 from typing import Dict, List, Optional
 
 import jax
@@ -598,6 +599,15 @@ def _detect_tracked(det, dev_all, board, n_valid: int):
             run_resweeps(jobs)
     if policy.trigger_log:
         det.stats["trigger_log"] = policy.trigger_log
+    if os.environ.get("CCRS_TRACK_DEBUG"):
+        # diagnostic stash (perf archaeology only — never read by the
+        # pipeline): per-(frame, tag) wave outcomes + what cold saw
+        det.debug = {
+            "g_acc": g_acc, "g_att": g_att, "g_ben": g_ben,
+            "g_cor": g_cor, "coldres": dict(coldres),
+            "layout": layout, "segs": segs, "cold_direct": cold_direct,
+            "known_bad": dict(st["known_bad"]),
+        }
 
     _advance_carry(st, results, n_valid)
     return results

@@ -165,6 +165,29 @@ def test_known_bad_ttl_suppresses_then_expires():
     assert plan2 is not None and 10 in plan2.lead
 
 
+def test_known_bad_stamp_keeps_newest_confirmation():
+    # leads iterate in TRIGGER order, not frame order: an early-frame lead
+    # appearing later in the list must not clobber a later frame's stamp
+    # (known_bad_at is one-sided, so the max stamp dominates — the r05
+    # bench showed 70 redundant re-audits of already-confirmed absences
+    # when lead 220 overwrote the frame-518 stamp for tags 29/34/35)
+    kb = {}
+    pol = make_policy(B=600, rows={0: list(range(3, 600))}, known_bad=kb)
+    fails, acc = healthy(600)
+    for f in (518, 220):  # trigger order: 518 first, then 220
+        fails[f] = {29}
+    from ccrs_tpu.detect.audit import RoundPlan
+
+    plan = RoundPlan(lead=[518, 220], light_set=set(), no_resweep=set())
+    pol.record_outcome(plan, fails, {518: set(), 220: set()},
+                       {518: False, 220: False})
+    assert kb[29] == 518  # newest confirmation wins
+    # and the suppression window extends from the newest stamp
+    fails2, acc2 = healthy(600)
+    fails2[560] = {29}  # 560 - 518 <= 2K: suppressed
+    assert pol.plan_round(fails2, acc2, {518, 220}) is None
+
+
 def test_recovered_tag_is_not_stamped_known_bad():
     kb = {}
     pol = make_policy(known_bad=kb)
